@@ -1,0 +1,130 @@
+"""kNN join to reference stations — [NORTH-RULE] (SURVEY.md §3.6).
+
+Two physical strategies over the same semantics (k nearest stations
+per point, deterministic ties by ``station_id`` asc — FIXTURES.md §5):
+
+* ``method='broadcast'`` — stations are a tiny dim: broadcast to every
+  task, cross-candidate via broadcast join, rank with a window.  With
+  ~10²–10³ stations this is the RIGHT plan even at 10¹² points: the
+  big side is never shuffled; the window partitions by point key,
+  which AQE coalesces.  This variant is SQL-mirrorable and is the
+  oracle-checked one.
+* ``method='cellring'`` — the scale path for LARGE station sets
+  (SURVEY.md §3.6 "kNN join" row): stations bucketed by grid cell;
+  each point expands its cell's k-ring (Chebyshev radius chosen so the
+  ring is a superset of the true k nearest), equi-joins on cell, then
+  ranks.  Equi-join keeps Catalyst in BroadcastHashJoin/SMJ land.
+  pytest asserts cellring ≡ broadcast row-for-row on the fixture.
+
+Distance: flat-earth squared degrees ``(Δφ)² + (0.7·Δλ)²`` — pure
+arithmetic (0.7 ≈ cos 46° meridian-convergence factor, adequate for a
+1.75°-tall working area and bit-identical across engines).  A
+haversine kernel is provided for real use; pytest cross-checks ranking
+agreement, while the oracle uses the arithmetic form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import cells
+from ..constants import BBOX_FI_MAX, BBOX_FI_MIN, BBOX_LA_MAX, BBOX_LA_MIN
+from ..functions.sqlgen import f as _f
+
+LA_FACTOR = 0.7
+KNN_CELL_RES = 3  # coarse cells for the cellring variant
+
+
+def station_positions(n_st: int = 25) -> np.ndarray:
+    out = np.empty((n_st, 2), dtype=np.float64)  # (fi, la)
+    for i in range(n_st):
+        out[i, 0] = BBOX_FI_MIN + 0.1 + (BBOX_FI_MAX - BBOX_FI_MIN - 0.2) * (((i + 1) * 2654435761) % 1000000) / 1000000.0
+        out[i, 1] = BBOX_LA_MIN + 0.1 + (BBOX_LA_MAX - BBOX_LA_MIN - 0.2) * (((i + 1) * 1597334677) % 1000000) / 1000000.0
+    return out
+
+
+def stations_values_sql(n_st: int = 25) -> str:
+    pos = station_positions(n_st)
+    rows = ", ".join(f"({i}, {_f(pos[i, 0])}, {_f(pos[i, 1])})" for i in range(n_st))
+    return f"(SELECT * FROM (VALUES {rows}) AS s(station_id, s_fi, s_la))"
+
+
+def stations_df(spark: SparkSession, n_st: int = 25) -> DataFrame:
+    pos = station_positions(n_st)
+    rows = [(i, float(pos[i, 0]), float(pos[i, 1]),
+             int(cells.encode(pos[i, 0:1], pos[i, 1:2], KNN_CELL_RES)[0]))
+            for i in range(n_st)]
+    return spark.createDataFrame(
+        rows, "station_id int, s_fi double, s_la double, s_cell bigint")
+
+
+def _dist2(fi, la):
+    return ((F.col(fi) - F.col("s_fi")) * (F.col(fi) - F.col("s_fi"))
+            + (F.lit(LA_FACTOR) * (F.col(la) - F.col("s_la")))
+            * (F.lit(LA_FACTOR) * (F.col(la) - F.col("s_la"))))
+
+
+def knn_join(points: DataFrame, spark: SparkSession, key: str,
+             fi_col: str = "fi", la_col: str = "la", k: int = 3,
+             n_st: int = 25, method: str = "broadcast") -> DataFrame:
+    st = stations_df(spark, n_st)
+    if method == "broadcast":
+        cand = points.join(F.broadcast(st))
+    elif method == "cellring":
+        # station cells expanded to k-rings; ring radius 1 at res 3
+        # (~0.22° cells) is a superset of any 3-NN in this fixture
+        # density — asserted against broadcast in tests.
+        ring_rows = []
+        pos = station_positions(n_st)
+        for i in range(n_st):
+            c = int(cells.encode(pos[i, 0:1], pos[i, 1:2], KNN_CELL_RES)[0])
+            for rc in cells.k_ring(c, 1):
+                ring_rows.append((int(rc), i))
+        rings = spark.createDataFrame(ring_rows, "cell bigint, station_id int")
+        from ..kernels import cell_col
+        pts = points.withColumn("cell", cell_col(F.col(fi_col), F.col(la_col), KNN_CELL_RES))
+        cand = (pts.join(F.broadcast(rings), "cell")
+                .join(F.broadcast(st), "station_id")
+                .drop("cell"))
+    else:
+        raise ValueError(method)
+    w = Window.partitionBy(key).orderBy(
+        _dist2(fi_col, la_col).asc(), F.col("station_id").asc())
+    return (cand
+            .withColumn("dist2", _dist2(fi_col, la_col))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .drop("s_cell"))
+
+
+def knn_oracle_sql(points_src: str, key: str, k: int = 3,
+                   n_st: int = 25, fi: str = "fi", la: str = "la") -> str:
+    """Brute-force oracle: cross join + window, identical distance
+    arithmetic and (dist2, station_id) tie-break."""
+    return f"""
+(SELECT {key}, station_id, dist2, rk FROM (
+   SELECT p.{key} AS {key}, s.station_id AS station_id,
+          (p.{fi} - s.s_fi) * (p.{fi} - s.s_fi)
+          + ({_f(LA_FACTOR)} * (p.{la} - s.s_la)) * ({_f(LA_FACTOR)} * (p.{la} - s.s_la)) AS dist2,
+          row_number() OVER (
+            PARTITION BY p.{key}
+            ORDER BY (p.{fi} - s.s_fi) * (p.{fi} - s.s_fi)
+                     + ({_f(LA_FACTOR)} * (p.{la} - s.s_la)) * ({_f(LA_FACTOR)} * (p.{la} - s.s_la)) ASC,
+                     s.station_id ASC) AS rk
+   FROM {points_src} p CROSS JOIN {stations_values_sql(n_st)} s
+ ) q WHERE rk <= {k})
+"""
+
+
+def haversine_m(fi1, la1, fi2, la2):
+    """Great-circle distance [m] (engine-side option; not the oracle
+    metric — see module docstring)."""
+    r = 6371008.8
+    p1 = np.deg2rad(np.asarray(fi1, np.float64))
+    p2 = np.deg2rad(np.asarray(fi2, np.float64))
+    dl = np.deg2rad(np.asarray(la2, np.float64) - np.asarray(la1, np.float64))
+    dp = p2 - p1
+    a = np.sin(dp / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2
+    return 2.0 * r * np.arcsin(np.sqrt(a))

@@ -1,0 +1,49 @@
+"""SparkSession builders tuned for the engine's 100 TB design point.
+
+Local testing runs ``local[N]`` (sandbox stand-in for N executors —
+BASELINE.md scaling protocol); the config block is written so the same
+settings transfer to ``spark-submit --py-files`` on a real cluster:
+
+* AQE on (runtime coalesce, skew-join splitting — the backstop behind
+  the explicit salting in operators/tiles.py; SURVEY.md §5.2 item 4).
+* Arrow enabled + sane batch size: every numeric kernel crosses
+  JVM↔Python as Arrow batches; 32k rows/batch keeps per-batch NumPy
+  work ~ms-scale while amortizing the crossing.
+* ``shuffle.partitions`` scales with parallelism (cores in local mode;
+  2–3× total executor cores on a cluster).
+* Timezone pinned UTC so timestamp arithmetic matches the DuckDB
+  oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "geocoordinateconverter-spark",
+                  cores: int | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra: dict[str, str] | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,129 @@
+"""Web-page corpus synthesis + schema (input_hint, FIXTURES.md §1).
+
+The engine's production input is an Iceberg table of Common-Crawl-style
+pages ``(url, warc_ts, html, text, lang)`` at 10¹²-document scale
+(BASELINE.json input_hint).  No Iceberg catalog exists in this sandbox,
+so :func:`webpages_df` materializes the FIXTURES.md §1 synthetic
+analogue **deterministically from the driver's read-only
+``documents.parquet``** — every derived value is pure integer/float
+arithmetic + ``printf``-style formatting on ``doc_id``/``text``, so the
+DuckDB oracle reproduces the table bit-for-bit with the SQL twin
+:func:`webpages_sql`.
+
+Coordinate mentions embedded in ``text`` follow the reference's
+free-format parser surface (gk-slo.c + util.c — SURVEY.md §3.1 S2):
+decimal-degree pairs, DMS pairs, and labeled D48/GK ``x=… y=…`` pairs
+(some with the 5 000 000 m absolute-northing form).  The original
+document text is kept as a byte-identical prefix per url — the
+north_star's passthrough invariant.
+
+At 100 TB the equivalent stage is a pure projection over the Iceberg
+scan (no shuffle); everything here is Catalyst built-ins inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import sqlgen as sg
+
+# mention cadence: docs with doc_id % 4 == 0 get a decimal-degree pair,
+# % 4 == 1 a GK x/y pair, % 4 == 2 a DMS pair, % 4 == 3 no mention.
+
+
+def _mention_exprs() -> dict[str, str]:
+    """Dialect-neutral SQL expressions for the mention text, keyed off
+    integer column ``doc_id``; shared verbatim by Spark and DuckDB."""
+    w = sg.wgs_points_sql("doc_id")
+    gk = sg.gk_points_sql("doc_id")
+    dd = (f"concat(' lat ', printf('%.6f', {w['fi']}), "
+          f"'N lon ', printf('%.6f', {w['la']}), 'E')")
+    gkm = (f"concat(' x=', printf('%.3f', {gk['x']}), "
+           f"' y=', printf('%.3f', {gk['y']}), "
+           f"' H=', printf('%.3f', {gk['h']}))")
+    # DMS: degrees/minutes computed by integer math on scaled seconds
+    tot_fi = f"cast(floor(({w['fi']}) * 3600.0e0 * 10.0e0) as bigint)"
+    tot_la = f"cast(floor(({w['la']}) * 3600.0e0 * 10.0e0) as bigint)"
+    # NB: '/' is float division on integers in BOTH dialects (7/2=3.5),
+    # so integer division is spelled cast(floor(a / b) as bigint) —
+    # exact for these magnitudes (< 2^53).
+    idiv = lambda a, b: f"cast(floor(({a}) / {b}.0e0) as bigint)"  # noqa: E731
+    dms = (f"concat(' ', cast({idiv(tot_fi, 36000)} as string), 'd', "
+           f"cast({idiv(f'({tot_fi}) % 36000', 600)} as string), 'm', "
+           f"printf('%.1f', cast(({tot_fi}) % 600 as double) / 10.0e0), 's ', "
+           f"cast({idiv(tot_la, 36000)} as string), 'd', "
+           f"cast({idiv(f'({tot_la}) % 36000', 600)} as string), 'm', "
+           f"printf('%.1f', cast(({tot_la}) % 600 as double) / 10.0e0), 's')")
+    mention = (f"(case when doc_id % 4 = 0 then {dd} "
+               f"when doc_id % 4 = 1 then {gkm} "
+               f"when doc_id % 4 = 2 then {dms} else '' end)")
+    return {"mention": mention}
+
+
+def webpages_sql(documents: str = "documents") -> str:
+    """Dialect-neutral SELECT producing the webpages table from the
+    ``documents`` view: (url, warc_ts, page_text, lang)."""
+    m = _mention_exprs()["mention"]
+    return f"""
+(SELECT concat('https://example.si/page/', cast(doc_id as string)) AS url,
+        doc_id,
+        concat(text, {m}) AS page_text,
+        lang
+ FROM {documents})
+"""
+
+
+def webpages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(f"SELECT * FROM {webpages_sql('documents')} w")
+
+
+# ---------------------------------------------------------------------------
+# Geoparser (SURVEY.md §3.1 S2 Spark mapping): regexp extraction over
+# page text → typed coordinate candidates.  Patterns are kept to the
+# regex subset with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): literal text, [0-9], quantifiers, groups.
+# ---------------------------------------------------------------------------
+
+RE_DD = r"lat ([0-9]+\.[0-9]+)N lon ([0-9]+\.[0-9]+)E"
+RE_GK = r"x=([0-9]+\.[0-9]+) y=([0-9]+\.[0-9]+) H=([0-9]+\.[0-9]+)"
+RE_DMS = r"([0-9]+)d([0-9]+)m([0-9]+\.[0-9])s ([0-9]+)d([0-9]+)m([0-9]+\.[0-9])s"
+
+
+def geoparse_dd_sql(src: str) -> str:
+    """Decimal-degree mentions → (url, fi, la); dialect-neutral via
+    regexp_extract(text, pattern, group) which exists in both engines."""
+    return f"""
+(SELECT url,
+        cast(regexp_extract(page_text, '{RE_DD}', 1) as double) AS fi,
+        cast(regexp_extract(page_text, '{RE_DD}', 2) as double) AS la
+ FROM {src}
+ WHERE regexp_extract(page_text, '{RE_DD}', 1) <> '')
+"""
+
+
+def geoparse_gk_sql(src: str) -> str:
+    return f"""
+(SELECT url, doc_id,
+        cast(regexp_extract(page_text, '{RE_GK}', 1) as double) AS x,
+        cast(regexp_extract(page_text, '{RE_GK}', 2) as double) AS y,
+        cast(regexp_extract(page_text, '{RE_GK}', 3) as double) AS h
+ FROM {src}
+ WHERE regexp_extract(page_text, '{RE_GK}', 1) <> '')
+"""
+
+
+def geoparse_dms_sql(src: str) -> str:
+    """DMS mentions → decimal degrees (util.c DMS parse — SURVEY.md
+    §3.5 F1), as pure arithmetic on the extracted groups."""
+    g = lambda i: f"cast(regexp_extract(page_text, '{RE_DMS}', {i}) as double)"  # noqa: E731
+    return f"""
+(SELECT url,
+        {g(1)} + {g(2)} / 60.0e0 + {g(3)} / 3600.0e0 AS fi,
+        {g(4)} + {g(5)} / 60.0e0 + {g(6)} / 3600.0e0 AS la
+ FROM {src}
+ WHERE regexp_extract(page_text, '{RE_DMS}', 1) <> '')
+"""

@@ -1,0 +1,142 @@
+"""Spark-layer tests: Arrow-crossing parity, join-operator equivalence,
+plan-shape audits, and rerun determinism (SURVEY.md §6.2 items 3/5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geocoordinateconverter_spark import cells, kernels
+from geocoordinateconverter_spark import geodesy as g
+from geocoordinateconverter_spark.operators import knn as knn_op
+from geocoordinateconverter_spark.operators import pip as pip_op
+
+N = 5000
+rng = np.random.default_rng(11)
+FI = rng.uniform(45.25, 47.0, N)
+LA = rng.uniform(13.25, 16.75, N)
+H = rng.uniform(0, 2000, N)
+
+
+@pytest.fixture(scope="module")
+def pts_df(spark):
+    pdf = pd.DataFrame({"k": np.arange(N), "fi": FI, "la": LA, "h": H})
+    return spark.createDataFrame(pdf)
+
+
+def test_udf_bitwise_parity(spark, pts_df):
+    """pandas-UDF output ≡ pure-NumPy kernel output bitwise — the
+    Arrow crossing changes nothing (SURVEY.md §6.2 item 3)."""
+    t4 = kernels.transform_udf(4)
+    out = (pts_df.withColumn("o", t4(F.col("fi"), F.col("la"), F.col("h")))
+           .select("k", "o.*").toPandas().sort_values("k"))
+    ex, ey, eh = g.wgs84_to_gk(FI, LA, H)
+    np.testing.assert_array_equal(out["x"].to_numpy(), ex)
+    np.testing.assert_array_equal(out["y"].to_numpy(), ey)
+    np.testing.assert_array_equal(out["h"].to_numpy(), eh)
+
+
+def test_cell_col_matches_numpy(spark, pts_df):
+    got = (pts_df.withColumn("c", kernels.cell_col(F.col("fi"), F.col("la"), 7))
+           .select("k", "c").toPandas().sort_values("k"))
+    np.testing.assert_array_equal(got["c"].to_numpy(), cells.encode(FI, LA, 7))
+
+
+def test_no_row_python_in_plan(spark, pts_df):
+    """input_hint hard ban: only ArrowEvalPython may appear, never
+    BatchEvalPython (SURVEY.md §8 watch-list item b)."""
+    t3 = kernels.transform_udf(3)
+    df = pts_df.withColumn("o", t3(F.col("fi"), F.col("la"), F.col("h")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pip_plan_is_broadcast(spark, pts_df):
+    """PIP prefilter must be a broadcast hash join — no shuffle of the
+    point side, no BroadcastNestedLoopJoin (SURVEY.md §5.2 item 3)."""
+    out = pip_op.pip_join(pts_df, spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pip_vs_numpy_oracle(spark, pts_df):
+    """Engine two-phase PIP ≡ brute-force NumPy even-odd over all
+    polygons (FIXTURES.md §4 oracle)."""
+    got = (pip_op.pip_join(pts_df, spark).select("k", "mun_id").toPandas())
+    got_set = set(map(tuple, got.to_numpy()))
+    polys = pip_op.municipality_polygons(20)
+    exp = set()
+    for m in range(20):
+        vx, vy = polys[m, :, 0], polys[m, :, 1]
+        inside = np.zeros(N, dtype=bool)
+        nv = len(vx)
+        for v in range(nv):
+            w = (v + 1) % nv
+            crosses = (vy[v] > FI) != (vy[w] > FI)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (vx[w] - vx[v]) * (FI - vy[v]) / (vy[w] - vy[v]) + vx[v]
+            inside ^= crosses & (LA < xint)
+        for k in np.where(inside)[0]:
+            exp.add((k, m))
+    assert got_set == exp
+
+
+def test_raycast_concave_polygon():
+    """The refine kernel is a general even-odd ray cast: verify on a
+    concave (arrow-head) polygon where half-plane tests would fail."""
+    poly = np.array([[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [2.0, 1.5],
+                      [0.0, 4.0], [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]])
+    # degenerate repeated vertices are fine for even-odd
+    px = np.array([2.0, 2.0, 0.5, 2.5])
+    py = np.array([0.5, 3.0, 0.5, 2.5])   # (2,3) and (2.5,2.5) in the notch → outside
+    vx, vy = poly[0, :, 0], poly[0, :, 1]
+    inside = np.zeros(4, dtype=bool)
+    for v in range(8):
+        w = (v + 1) % 8
+        crosses = (vy[v] > py) != (vy[w] > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = np.where(crosses, (vx[w] - vx[v]) * (py - vy[v]) / (vy[w] - vy[v]) + vx[v], np.inf)
+        inside ^= crosses & (px < xint)
+    assert list(inside) == [True, False, True, False]
+
+
+def test_knn_methods_agree(spark, pts_df):
+    """cellring scale path ≡ broadcast exact path row-for-row."""
+    a = (knn_op.knn_join(pts_df, spark, key="k", k=3, method="broadcast")
+         .select("k", "station_id", "rk").toPandas()
+         .sort_values(["k", "rk"]).reset_index(drop=True))
+    b = (knn_op.knn_join(pts_df, spark, key="k", k=3, method="cellring")
+         .select("k", "station_id", "rk").toPandas()
+         .sort_values(["k", "rk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_vs_numpy_bruteforce(spark, pts_df):
+    got = (knn_op.knn_join(pts_df, spark, key="k", k=3)
+           .select("k", "station_id", "rk").toPandas()
+           .sort_values(["k", "rk"]))
+    pos = knn_op.station_positions(25)
+    d2 = (FI[:, None] - pos[None, :, 0]) ** 2 \
+        + (knn_op.LA_FACTOR * (LA[:, None] - pos[None, :, 1])) ** 2
+    order = np.lexsort((np.broadcast_to(np.arange(25), d2.shape), d2), axis=1)
+    exp = order[:, :3]
+    np.testing.assert_array_equal(
+        got["station_id"].to_numpy().reshape(N, 3), exp)
+
+
+def test_rerun_and_partitioning_determinism(spark, pts_df):
+    """north_star: identical join output rows & tile assignments across
+    reruns and partition layouts."""
+    def tiles(df):
+        t3 = kernels.transform_udf(4)
+        return (df.withColumn("o", t3(F.col("fi"), F.col("la"), F.col("h")))
+                .withColumn("cell", kernels.cell_col(F.col("fi"), F.col("la"), 7))
+                .groupBy("cell").agg(F.count("*").alias("n"))
+                .toPandas().sort_values("cell").reset_index(drop=True))
+    a = tiles(pts_df)
+    b = tiles(pts_df.repartition(17))
+    pd.testing.assert_frame_equal(a, b)

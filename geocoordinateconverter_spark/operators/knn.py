@@ -60,6 +60,20 @@ def stations_df(spark: SparkSession, n_st: int = 25) -> DataFrame:
         rows, "station_id int, s_fi double, s_la double, s_cell bigint")
 
 
+def _max_kth_nn_dist(pos: np.ndarray, k: int) -> float:
+    """Upper bound on the k-th-NN distance (metric units of _dist2's
+    sqrt: degrees with λ scaled by LA_FACTOR) over the bbox, via a
+    dense probe grid + half-diagonal slack."""
+    gf = np.linspace(BBOX_FI_MIN, BBOX_FI_MAX, 60)
+    gl = np.linspace(BBOX_LA_MIN, BBOX_LA_MAX, 60)
+    pf, pl = np.meshgrid(gf, gl, indexing="ij")
+    d2 = ((pf.ravel()[:, None] - pos[None, :, 0]) ** 2
+          + (LA_FACTOR * (pl.ravel()[:, None] - pos[None, :, 1])) ** 2)
+    kth = np.sqrt(np.sort(d2, axis=1)[:, k - 1]).max()
+    step = np.hypot(gf[1] - gf[0], LA_FACTOR * (gl[1] - gl[0]))
+    return float(kth + step)
+
+
 def _dist2(fi, la):
     return ((F.col(fi) - F.col("s_fi")) * (F.col(fi) - F.col("s_fi"))
             + (F.lit(LA_FACTOR) * (F.col(la) - F.col("s_la")))
@@ -73,15 +87,31 @@ def knn_join(points: DataFrame, spark: SparkSession, key: str,
     if method == "broadcast":
         cand = points.join(F.broadcast(st))
     elif method == "cellring":
-        # station cells expanded to k-rings; ring radius 1 at res 3
-        # (~0.22° cells) is a superset of any 3-NN in this fixture
-        # density — asserted against broadcast in tests.
-        ring_rows = []
+        # Each station is registered in every cell whose points could
+        # have it among their k nearest: ring radius derived from the
+        # max k-th-NN distance over a dense probe grid (computed once,
+        # deterministic), plus one cell of slack.  This makes the
+        # equi-join candidate set a PROVEN superset of the true kNN —
+        # asserted row-for-row against the broadcast path in tests.
         pos = station_positions(n_st)
+        d_max = _max_kth_nn_dist(pos, k)
+        n = cells.n_cells(KNN_CELL_RES)
+        cell_h = (BBOX_FI_MAX - BBOX_FI_MIN) / n
+        cell_w = (BBOX_LA_MAX - BBOX_LA_MIN) / n
+        r_fi = int(np.ceil(d_max / cell_h)) + 1
+        r_la = int(np.ceil(d_max / LA_FACTOR / cell_w)) + 1
+        ring_rows = []
         for i in range(n_st):
             c = int(cells.encode(pos[i, 0:1], pos[i, 1:2], KNN_CELL_RES)[0])
-            for rc in cells.k_ring(c, 1):
-                ring_rows.append((int(rc), i))
+            _, ix, iy = cells.decode(np.asarray([c], np.int64))
+            ix, iy = int(ix[0]), int(iy[0])
+            for dx in range(-r_la, r_la + 1):
+                for dy in range(-r_fi, r_fi + 1):
+                    jx, jy = ix + dx, iy + dy
+                    if 0 <= jx < n and 0 <= jy < n:
+                        ring_rows.append(
+                            ((KNN_CELL_RES << cells.RES_SHIFT)
+                             + (jx << cells.IX_SHIFT) + jy, i))
         rings = spark.createDataFrame(ring_rows, "cell bigint, station_id int")
         from ..kernels import cell_col
         pts = points.withColumn("cell", cell_col(F.col(fi_col), F.col(la_col), KNN_CELL_RES))

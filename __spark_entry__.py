@@ -26,8 +26,12 @@ from pyspark.sql import functions as F
 from geocoordinateconverter_spark import kernels
 from geocoordinateconverter_spark.functions import sqlgen as sg
 from geocoordinateconverter_spark.operators import knn as knn_op
+from geocoordinateconverter_spark.operators import multimodal as mm
 from geocoordinateconverter_spark.operators import pip as pip_op
+from geocoordinateconverter_spark.operators import similarity as sim
+from geocoordinateconverter_spark.operators import textdedup as td
 from geocoordinateconverter_spark.sources import webpages as wp
+from geocoordinateconverter_spark.streaming import windows as sw
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -57,6 +61,18 @@ def _src_wgs(key_expr: str, table: str) -> str:
 
 
 SRC_WGS_ORDERS = _src_wgs("o_orderkey", "orders")
+
+_TM = sg.tm_points_sql("k")
+SRC_TM_LINEITEM = (f"(SELECT k, {_TM['x']} AS x, {_TM['y']} AS y, "
+                   f"{_TM['h']} AS h FROM (SELECT {LKEY} AS k FROM lineitem) q_k) q_src")
+
+# DMS presentation formatting (util.c F2): D/M/S via integer math on
+# 0.1″-scaled total seconds + printf — dialect-neutral, pure codegen.
+_TOT = "cast(floor(fi * 36000.0e0) as bigint)"
+DMS_FMT_SQL = (
+    f"concat(cast(cast(floor({_TOT} / 36000.0e0) as bigint) as string), 'd', "
+    f"cast(cast(floor(({_TOT} % 36000) / 600.0e0) as bigint) as string), 'm', "
+    f"printf('%.1f', cast({_TOT} % 600 as double) / 10.0e0), 's')")
 
 
 # ===========================================================================
@@ -110,7 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             src = spark.sql(f"SELECT * FROM {src_sql} WHERE {sample}")
             udf = kernels.transform_udf(t)
             cols = ["fi", "la", "h"] if t in (1, 3, 7) else ["x", "y", "h"]
-            in_cols = [F.col(c) for c in (("x", "y", "h") if t in (1, 3, 5, 6, 9)
+            in_cols = [F.col(c) for c in (("x", "y", "h")
+                                          if t in (1, 3, 5, 6, 7, 9, 10)
                                           else ("fi", "la", "h"))]
             df = src.withColumn("out", udf(*in_cols))
             sel = [F.col("k")] + [
@@ -216,6 +233,171 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return src.select("k", F.round(g(F.col("fi"), F.col("la")), 6).alias("geoid_n"))
     q["geoid_bilinear"] = q_geoid
 
+    # ---- remaining chains: t4/t6 (Helmert inverse), t7–t10 (AFT) ---------
+    q["t4_wgs84_to_gk"] = _chain_query(4, SRC_WGS_ORDERS, "k % 13 = 0", (2, 2, 2))
+    q["t6_tm_to_gk"] = _chain_query(6, SRC_GK_LINEITEM, "k % 47 = 0", (2, 2, 2))
+    # AFT chains are exact affine arithmetic on bit-identical inputs →
+    # no rounding needed for t9/t10; t7 ends in libm (inverse proj).
+    q["t9_gk_to_tm_aft"] = _chain_query(9, SRC_GK_LINEITEM, "k % 53 = 0",
+                                        (None, None, None))
+    q["t7_gk_to_wgs84_aft"] = _chain_query(7, SRC_GK_LINEITEM, "k % 59 = 0",
+                                           (8, 8, None))
+
+    def q_t10(spark, sf_dir):
+        _register(spark, sf_dir)
+        src = spark.sql(f"SELECT * FROM {SRC_TM_LINEITEM} WHERE k % 61 = 0")
+        udf = kernels.transform_udf(10)
+        df = src.withColumn("out", udf(F.col("x"), F.col("y"), F.col("h")))
+        return df.select("k", F.col("out.x").alias("x_out"),
+                         F.col("out.y").alias("y_out"),
+                         F.col("out.h").alias("h_out"))
+    q["t10_tm_to_gk_aft"] = q_t10
+
+    # ---- height modes (A6): physical H = h − N (hg) ----------------------
+    def q_height_hg(spark, sf_dir):
+        _register(spark, sf_dir)
+        src = spark.sql(f"SELECT * FROM {_src_wgs('o_orderkey', 'orders')}")
+        g = kernels.geoid_udf("slo")
+        return src.select(
+            "k", F.round(F.col("h") - g(F.col("fi"), F.col("la")), 6)
+            .alias("big_h"))
+    q["height_mode_hg"] = q_height_hg
+
+    # ---- DMS formatting (util.c F2) — pure codegen arithmetic ------------
+    def q_dms_format(spark, sf_dir):
+        _register(spark, sf_dir)
+        return spark.sql(
+            f"SELECT k, {DMS_FMT_SQL} AS dms FROM {SRC_WGS_ORDERS} "
+            f"WHERE k % 17 = 0")
+    q["dms_format"] = q_dms_format
+
+    # ================= training-data pipeline operators ===================
+    def _docs(spark, sf_dir):
+        _register(spark, sf_dir)
+        return spark.table("documents")
+
+    q["dedup_exact"] = lambda s, d: td.exact_dedup(_docs(s, d))
+    q["minhash_signatures"] = lambda s, d: td.minhash_signatures(_docs(s, d))
+    q["minhash_lsh_pairs"] = lambda s, d: td.minhash_pairs(_docs(s, d))
+    q["simhash"] = lambda s, d: td.simhash(_docs(s, d))
+    q["ngram_jaccard_pairs"] = lambda s, d: td.ngram_jaccard_pairs(_docs(s, d))
+    q["text_stats"] = lambda s, d: td.text_stats(_docs(s, d))
+    q["lang_id"] = lambda s, d: td.lang_id(_docs(s, d))
+
+    def q_ann(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.brute_force_topk(spark.table("embeddings"), k=5)
+    q["ann_cosine_topk"] = q_ann
+
+    def q_lsh(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.lsh_buckets(spark.table("embeddings"))
+    q["ann_lsh_buckets"] = q_lsh
+
+    def q_cnd(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.cosine_near_dup(spark.table("embeddings"),
+                                   threshold=0.25, id_window=50)
+    q["embedding_near_dup"] = q_cnd
+
+    def q_mm_meta(spark, sf_dir):
+        _register(spark, sf_dir)
+        docs = mm.html_binary(spark.table("documents"))
+        feats = mm.extract_features(docs, "html", "raw")
+        return feats.select("doc_id", "n_bytes", "magic")
+    q["multimodal_meta"] = q_mm_meta
+
+    def q_mm_full(spark, sf_dir):
+        _register(spark, sf_dir)
+        docs = mm.html_binary(spark.table("documents"))
+        return mm.extract_features(docs, "html", "raw")
+    q["multimodal_features"] = q_mm_full  # rows-only (entropy not SQL-expressible)
+
+    # ================= relational layer (SURVEY.md §3.6 gap table) ========
+    def q_pricing(spark, sf_dir):
+        _register(spark, sf_dir)
+        li = spark.table("lineitem")
+        return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                     F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                     F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                     F.count("*").alias("count_order")))
+    q["tpch_q1_pricing"] = q_pricing
+
+    def q_topcust(spark, sf_dir):
+        _register(spark, sf_dir)
+        o = spark.table("orders")
+        c = spark.table("customer")
+        rev = (o.join(c, o.o_custkey == c.c_custkey)
+               .groupBy("c_custkey", "c_name")
+               .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                    F.count("*").alias("n_orders")))
+        w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        return (rev.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 10))
+    q["join_topk_customers"] = q_topcust
+
+    def q_win(spark, sf_dir):
+        _register(spark, sf_dir)
+        e = spark.table("events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                                  F.col("event_id").asc())
+        return (e.withColumn("prev_type", F.lag("event_type").over(w))
+                .withColumn("seq", F.row_number().over(w))
+                .filter(F.col("seq") <= 5)
+                .select("user_id", "event_id", "seq", "prev_type"))
+    q["window_lag_rank"] = q_win
+
+    def q_sets(spark, sf_dir):
+        _register(spark, sf_dir)
+        e = spark.table("events")
+        a = e.filter(F.col("event_type") == "click").select("user_id")
+        b = e.filter(F.col("event_type") == "view").select("user_id")
+        return (a.intersect(b).withColumn("tag", F.lit("both"))
+                .unionByName(a.subtract(b)  # EXCEPT DISTINCT
+                             .withColumn("tag", F.lit("click_only"))))
+    q["set_ops_users"] = q_sets
+
+    def q_semi(spark, sf_dir):
+        _register(spark, sf_dir)
+        c = spark.table("customer")
+        o = spark.table("orders")
+        has = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        hasnot = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        return (has.select("c_custkey").withColumn("has_orders", F.lit(True))
+                .unionByName(hasnot.select("c_custkey")
+                             .withColumn("has_orders", F.lit(False))))
+    q["semi_anti_join"] = q_semi
+
+    def q_cube(spark, sf_dir):
+        _register(spark, sf_dir)
+        o = spark.table("orders")
+        return (o.rollup("o_orderstatus", "o_orderpriority")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total")))
+    q["rollup_orders"] = q_cube
+
+    def q_range(spark, sf_dir):
+        _register(spark, sf_dir)
+        e = spark.table("events")
+        bands = spark.createDataFrame(
+            [(i, 100.0 * i, 100.0 * (i + 1)) for i in range(10)],
+            "band_id int, lo double, hi double")
+        return (e.join(F.broadcast(bands),
+                       (e.value >= bands.lo) & (e.value < bands.hi))
+                .groupBy("band_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 6).alias("sum_v")))
+    q["range_join_bands"] = q_range
+
+    def q_evwin(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sw.windowed_event_agg(spark.table("events"))
+    q["events_window_agg"] = q_evwin
+
     return q
 
 
@@ -290,5 +472,123 @@ def oracle_sql() -> dict[str, str]:
     o["geoid_bilinear"] = (
         f"SELECT k, round(geoid_n, 6) AS geoid_n "
         f"FROM {sg.geoid_sql(_pts_orders, 'k', 'slo')} q")
+
+    # ---- wave 2: remaining chains --------------------------------------
+    o["t4_wgs84_to_gk"] = _chain_oracle(sg.t4_sql, SRC_WGS_ORDERS, "k % 13 = 0",
+                                        ("x", "y", "h"), (2, 2, 2))
+    o["t6_tm_to_gk"] = _chain_oracle(sg.t6_sql, SRC_GK_LINEITEM, "k % 47 = 0",
+                                     ("x", "y", "h"), (2, 2, 2))
+
+    _gk53 = (f"(SELECT k, case when x > 1000000.0e0 then x - 5000000.0e0 else x end AS x, y, h "
+             f"FROM {SRC_GK_LINEITEM} WHERE k % 53 = 0)")
+    o["t9_gk_to_tm_aft"] = (
+        f"SELECT s.k AS k, s.ox AS x_out, s.oy AS y_out, p.h AS h_out "
+        f"FROM {sg.aft_scan_locate_sql(_gk53, 'k', 'gk_tm')} s "
+        f"JOIN {_gk53} p ON s.k = p.k")
+
+    _gk59 = (f"(SELECT k, case when x > 1000000.0e0 then x - 5000000.0e0 else x end AS x, y, h "
+             f"FROM {SRC_GK_LINEITEM} WHERE k % 59 = 0)")
+    _t7_tm = (f"(SELECT s.k AS k, s.ox AS x, s.oy AS y, p.h AS h "
+              f"FROM {sg.aft_scan_locate_sql(_gk59, 'k', 'gk_tm')} s "
+              f"JOIN {_gk59} p ON s.k = p.k) q_t7in")
+    o["t7_gk_to_wgs84_aft"] = (
+        f"SELECT k, round(fi, 8) AS fi_out, round(la, 8) AS la_out, h AS h_out "
+        f"FROM {sg.xy2geo_sql(sg.D96_TM, _t7_tm, 'k', normalize=False)} q")
+
+    _tm61 = f"(SELECT * FROM {SRC_TM_LINEITEM} WHERE k % 61 = 0)"
+    o["t10_tm_to_gk_aft"] = (
+        f"SELECT s.k AS k, s.ox AS x_out, s.oy AS y_out, p.h AS h_out "
+        f"FROM {sg.aft_scan_locate_sql(_tm61, 'k', 'tm_gk')} s "
+        f"JOIN {_tm61} p ON s.k = p.k")
+
+    o["height_mode_hg"] = (
+        f"SELECT k, round(h - geoid_n, 6) AS big_h FROM ("
+        f"SELECT q1.k AS k, q1.h AS h, q2.geoid_n AS geoid_n "
+        f"FROM {_pts_orders} q1 "
+        f"JOIN {sg.geoid_sql(_pts_orders, 'k', 'slo')} q2 ON q1.k = q2.k) q3")
+
+    o["dms_format"] = (
+        f"SELECT k, {DMS_FMT_SQL} AS dms FROM {SRC_WGS_ORDERS} WHERE k % 17 = 0")
+
+    # ---- wave 2: training-data ops -------------------------------------
+    o["dedup_exact"] = td.EXACT_DEDUP_SQL
+    o["minhash_signatures"] = f"SELECT doc_id, perm, sig FROM {td.MINHASH_SIG_SQL} q"
+    o["minhash_lsh_pairs"] = (
+        f"SELECT doc_a, doc_b, est_jaccard FROM {td.MINHASH_PAIRS_SQL} q")
+    o["simhash"] = f"SELECT doc_id, simhash FROM {td.SIMHASH_SQL} q"
+    o["ngram_jaccard_pairs"] = td.ngram_jaccard_sql()
+    o["text_stats"] = td.text_stats_sql()
+    o["lang_id"] = td.lang_id_sql()
+    o["ann_cosine_topk"] = sim.brute_force_topk_sql(k=5)
+    o["ann_lsh_buckets"] = sim.lsh_buckets_sql()
+    o["embedding_near_dup"] = sim.cosine_near_dup_sql(threshold=0.25, id_window=50)
+    o["multimodal_meta"] = (
+        "SELECT doc_id, octet_length(html) AS n_bytes, "
+        "lower(substr(hex(html), 1, 8)) AS magic FROM ("
+        "SELECT doc_id, encode(concat('<html><body>', text, '</body></html>')) "
+        "AS html FROM documents) q")
+    # multimodal_features: rows-only (entropy kernel not SQL-expressible)
+
+    # ---- wave 2: relational layer --------------------------------------
+    o["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    o["join_topk_customers"] = """
+SELECT c_custkey, c_name, revenue, n_orders, rk FROM (
+  SELECT c_custkey, c_name, revenue, n_orders,
+         row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rk
+  FROM (SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name) q1) q2
+WHERE rk <= 10
+"""
+    o["window_lag_rank"] = """
+SELECT user_id, event_id, seq, prev_type FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events) q WHERE seq <= 5
+"""
+    o["set_ops_users"] = """
+SELECT user_id, 'both' AS tag FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'view') q1
+UNION ALL
+SELECT DISTINCT user_id, 'click_only' AS tag FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'view') q2
+"""
+    o["semi_anti_join"] = """
+SELECT c_custkey, TRUE AS has_orders FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, FALSE AS has_orders FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+    o["rollup_orders"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+    o["range_join_bands"] = """
+SELECT band_id, count(*) AS n_events, round(sum(value), 6) AS sum_v
+FROM events
+JOIN (SELECT i AS band_id, 100.0e0 * i AS lo, 100.0e0 * (i + 1) AS hi
+      FROM (SELECT unnest(range(0, 10)) AS i) qi) b
+  ON value >= lo AND value < hi
+GROUP BY band_id
+"""
+    o["events_window_agg"] = sw.WINDOWED_EVENT_AGG_SQL
 
     return o

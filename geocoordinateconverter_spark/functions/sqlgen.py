@@ -76,6 +76,20 @@ def gk_points_sql(key: str) -> dict[str, str]:
     return {"x": x, "y": y, "h": h}
 
 
+def tm_points_sql(key: str) -> dict[str, str]:
+    """D96/TM points: same distribution as gk_points_sql but without
+    the absolute-northing variant (TM inputs are always reduced)."""
+    u1, u2, u3 = mix01(key, MIX_A), mix01(key, MIX_B), mix01(key, 40503)
+    x = (f"(case when ({key}) % 10 < 6 "
+         f"then {f(91000.0)} + {f(12000.0)} * {u1} "
+         f"else {f(15000.0)} + {f(185000.0)} * {u1} end)")
+    y = (f"(case when ({key}) % 10 < 6 "
+         f"then {f(455000.0)} + {f(14000.0)} * {u2} "
+         f"else {f(370000.0)} + {f(260000.0)} * {u2} end)")
+    h = f"({f(200.0)} + {f(1800.0)} * {u3})"
+    return {"x": x, "y": y, "h": h}
+
+
 def wgs_points_sql(key: str) -> dict[str, str]:
     """ETRS89/WGS84 (φ, λ, h) from integer key; same skew rule."""
     u1, u2, u3 = mix01(key, MIX_A), mix01(key, MIX_B), mix01(key, 40503)
@@ -358,6 +372,58 @@ def geoid_sql(src: str, keep: str, model: str = "slo") -> str:
 # side test, closed form (mirrors aft table order: lower tri (p00,p10,p11)
 # first = index 2*(i*21+j), upper (p00,p11,p01) = +1).
 # ---------------------------------------------------------------------------
+
+def aft_values_sql(direction: str = "gk_tm") -> str:
+    """VALUES table of the directed AFT triangle table: (tri_id,
+    x1,y1,x2,y2,x3,y3 source vertices, ca..cf affine coefficients) with
+    exact float64 literals — the oracle's copy of aft_gktm.h/aft_tmgk.h."""
+    from ..aft import AFT_GK_TM, AFT_TM_GK
+    t = AFT_GK_TM if direction == "gk_tm" else AFT_TM_GK
+    rows = []
+    for i in range(len(t.coef)):
+        s = t.tri_src[i]
+        c = t.coef[i]
+        vals = ", ".join([f(s[0, 0]), f(s[0, 1]), f(s[1, 0]), f(s[1, 1]),
+                          f(s[2, 0]), f(s[2, 1])]
+                         + [f(v) for v in c])
+        rows.append(f"({i}, {vals})")
+    return ("(SELECT * FROM (VALUES " + ", ".join(rows) +
+            ") AS t(tri_id, x1, y1, x2, y2, x3, y3, ca, cb, cc, cd, ce, cf))")
+
+
+def aft_scan_locate_sql(src: str, keep: str, direction: str = "gk_tm") -> str:
+    """Generic first-match triangle location + affine apply by full
+    candidate scan — mirrors AftTable.locate/transform arithmetic
+    (same barycentric formulas, same EPS, min tri_id = table order).
+    Output: keep…, tri_id, ox, oy.  Use on SAMPLED inputs only (the
+    scan is |src|×882)."""
+    from ..aft import EPS_BARY
+    eps = f(EPS_BARY)
+    return f"""
+(SELECT {keep}, tri_id, ca * x + cb * y + cc AS ox, cd * x + ce * y + cf AS oy
+ FROM (
+   SELECT {keep}, x, y, tri_id, ca, cb, cc, cd, ce, cf,
+          row_number() OVER (PARTITION BY {keep} ORDER BY tri_id ASC) AS rn
+   FROM (
+     SELECT {keep}, p.x AS x, p.y AS y, t.tri_id AS tri_id,
+            t.ca AS ca, t.cb AS cb, t.cc AS cc,
+            t.cd AS cd, t.ce AS ce, t.cf AS cf
+     FROM {src} p CROSS JOIN {aft_values_sql(direction)} t
+     WHERE ((p.x - t.x1) * (t.y3 - t.y1) - (p.y - t.y1) * (t.x3 - t.x1))
+           / ((t.x2 - t.x1) * (t.y3 - t.y1) - (t.y2 - t.y1) * (t.x3 - t.x1))
+           >= -{eps}
+       AND ((p.y - t.y1) * (t.x2 - t.x1) - (p.x - t.x1) * (t.y2 - t.y1))
+           / ((t.x2 - t.x1) * (t.y3 - t.y1) - (t.y2 - t.y1) * (t.x3 - t.x1))
+           >= -{eps}
+       AND ((p.x - t.x1) * (t.y3 - t.y1) - (p.y - t.y1) * (t.x3 - t.x1))
+           / ((t.x2 - t.x1) * (t.y3 - t.y1) - (t.y2 - t.y1) * (t.x3 - t.x1))
+           + ((p.y - t.y1) * (t.x2 - t.x1) - (p.x - t.x1) * (t.y2 - t.y1))
+           / ((t.x2 - t.x1) * (t.y3 - t.y1) - (t.y2 - t.y1) * (t.x3 - t.x1))
+           <= {f(1.0)} + {eps}
+   ) q_cand
+ ) q_rn WHERE rn = 1)
+"""
+
 
 def aft_locate_sql(src: str, keep: str) -> str:
     from ..aft import _GRID_N, _X_MAX, _X_MIN, _Y_MAX, _Y_MIN

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Engine paths:
+
+* ``brute_force_topk`` — exact cosine top-k of every query vector
+  against the corpus via a broadcast of the (small) query set; the dot
+  product/norms are **unrolled 64-term Catalyst expressions** (pure
+  codegen, no Python, and — crucially for the DuckDB oracle — a fixed
+  left-associated summation order that both engines evaluate
+  bit-identically; float32 elements are cast to float64 first, which
+  is exact).
+* ``lsh_buckets`` — random-hyperplane LSH: 8 deterministic hyperplanes
+  (coefficients derived by integer mixing, no RNG) → 8-bit bucket id
+  per vector.  At scale, near-dup candidate pairs come from equal
+  buckets (one hash-shuffle) instead of the O(n²) cross join; the
+  brute-force path stays as the small-side/rerank baseline.
+* ``cosine_near_dup`` — pairs over a doc_id window with cosine above a
+  threshold (embedding near-dup dedup entry).
+
+A Pandas-UDF dot-product kernel is provided for wide vectors (where an
+unrolled expression would bloat codegen); pytest asserts it matches the
+unrolled path bitwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+DIM = 64
+N_PLANES = 8
+
+
+def _elem(col: str, i: int) -> Column:
+    return F.element_at(F.col(col), i).cast("double")
+
+
+def dot_col(a: str, b: str, dim: int = DIM) -> Column:
+    """Unrolled left-associated Σ aᵢ·bᵢ (codegen-side, order-fixed)."""
+    expr = _elem(a, 1) * _elem(b, 1)
+    for i in range(2, dim + 1):
+        expr = expr + _elem(a, i) * _elem(b, i)
+    return expr
+
+
+def dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    terms = " + ".join(
+        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
+        for i in range(1, dim + 1))
+    return "(" + terms + ")"
+
+
+def norm2_col(a: str, dim: int = DIM) -> Column:
+    return dot_col(a, a, dim)
+
+
+def norm2_sql(a: str, dim: int = DIM) -> str:
+    return dot_sql(a, a, dim)
+
+
+def plane_coef(p: int, d: int) -> float:
+    """Deterministic hyperplane coefficient in [-0.5, 0.5)."""
+    return (((p * DIM + d + 1) * 2654435761) % 1000000) / 1000000.0 - 0.5
+
+
+def plane_proj_col(a: str, p: int, dim: int = DIM) -> Column:
+    expr = F.lit(plane_coef(p, 0)) * _elem(a, 1)
+    for d in range(1, dim):
+        expr = expr + F.lit(plane_coef(p, d)) * _elem(a, d + 1)
+    return expr
+
+
+def plane_proj_sql(a: str, p: int, dim: int = DIM) -> str:
+    terms = " + ".join(
+        f"{plane_coef(p, d)!r}e0 * cast({a}[{d + 1}] as double)"
+        for d in range(dim))
+    return "(" + terms + ")"
+
+
+def lsh_bucket_col(a: str) -> Column:
+    expr = F.lit(0).cast("bigint")
+    for p in range(N_PLANES):
+        expr = expr + F.when(plane_proj_col(a, p) > 0,
+                             F.lit(1 << p).cast("bigint")).otherwise(0)
+    return expr
+
+
+def lsh_bucket_sql(a: str) -> str:
+    terms = " + ".join(
+        f"(case when {plane_proj_sql(a, p)} > 0.0e0 then {1 << p} else 0 end)"
+        for p in range(N_PLANES))
+    return "(" + terms + ")"
+
+
+def brute_force_topk(emb: DataFrame, k: int = 5,
+                     query_filter: str = "vec_id % 50 = 0") -> DataFrame:
+    """Exact top-k cosine neighbours for the filtered query vectors.
+
+    Plan: broadcast the query set (small) against the corpus — the big
+    side streams through codegen, one window for ranking.
+    """
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    cand = (emb.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+            .withColumn("dot", dot_col("q_emb", "embedding"))
+            .withColumn("cos", F.col("dot")
+                        / F.sqrt(norm2_col("q_emb") * norm2_col("embedding"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "rk",
+                    F.round("cos", 9).alias("cos_sim")))
+
+
+def brute_force_topk_sql(k: int = 5,
+                         query_filter: str = "vec_id % 50 = 0") -> str:
+    dot = dot_sql("q.q_emb", "c.embedding")
+    n1 = norm2_sql("q.q_emb")
+    n2 = norm2_sql("c.embedding")
+    return f"""
+SELECT q_id, vec_id, rk, round(cos, 9) AS cos_sim FROM (
+  SELECT q.q_id AS q_id, c.vec_id AS vec_id,
+         {dot} / sqrt({n1} * {n2}) AS cos,
+         row_number() OVER (PARTITION BY q.q_id
+            ORDER BY {dot} / sqrt({n1} * {n2}) DESC, c.vec_id ASC) AS rk
+  FROM embeddings c
+  CROSS JOIN (SELECT vec_id AS q_id, embedding AS q_emb
+              FROM embeddings WHERE {query_filter}) q
+  WHERE c.vec_id <> q.q_id) z
+WHERE rk <= {k}
+"""
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", lsh_bucket_col("embedding").alias("bucket"))
+
+
+LSH_BUCKETS_SQL = None  # built lazily (needs the generated projections)
+
+
+def lsh_buckets_sql() -> str:
+    return (f"SELECT vec_id, {lsh_bucket_sql('embedding')} AS bucket "
+            f"FROM embeddings")
+
+
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
+                    id_window: int = 50) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a doc_id window."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = (a.join(b, (F.col("id_a") < F.col("id_b"))
+                    & (F.col("id_b") <= F.col("id_a") + id_window))
+             .withColumn("cos", dot_col("ea", "eb")
+                         / F.sqrt(norm2_col("ea") * norm2_col("eb")))
+             .filter(F.col("cos") >= threshold))
+    return pairs.select("id_a", "id_b", F.round("cos", 9).alias("cos_sim"))
+
+
+def cosine_near_dup_sql(threshold: float = 0.9, id_window: int = 50) -> str:
+    dot = dot_sql("a.embedding", "b.embedding")
+    na = norm2_sql("a.embedding")
+    nb = norm2_sql("b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot} / sqrt({na} * {nb}), 9) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id AND b.vec_id <= a.vec_id + {id_window}
+WHERE {dot} / sqrt({na} * {nb}) >= {threshold!r}e0
+"""
+
+
+def dot_pandas_udf(dim: int = DIM):
+    """Arrow-batched dot product for wide vectors (the unrolled-expr
+    alternative when dim is large); bitwise-equal to dot_col by
+    sequential accumulation order."""
+
+    @pandas_udf("double")
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy()).astype(np.float64)
+        bm = np.stack(b.to_numpy()).astype(np.float64)
+        acc = am[:, 0] * bm[:, 0]
+        for i in range(1, am.shape[1]):  # fixed order == unrolled expr
+            acc = acc + am[:, i] * bm[:, i]
+        return pd.Series(acc)
+
+    return _udf

@@ -1,0 +1,354 @@
+"""Training-data pipeline operators over the web corpus: exact dedup,
+MinHash-LSH, SimHash, n-gram Jaccard, text quality / language-ID /
+token stats / fingerprinting.
+
+These are [NORTH-RULE]-adjacent components of the 100 TB engine (the
+round brief lists them as first-class alongside SURVEY.md §2): a
+Common-Crawl-style corpus is deduplicated and quality-scored before the
+geodesy pipeline runs.  Design rules:
+
+* Everything is Catalyst built-ins (split/explode/hash-agg/window) —
+  the hot path has NO Python at all; shuffles only on groupBy keys.
+* Hashes are md5-based so the DuckDB oracle reproduces them exactly
+  (both engines implement ``md5`` identically; 60-bit ints are carved
+  out of the hex with conv/hex-cast — kept < 2^61 so no overflow
+  semantics are exercised in either engine).
+* MinHash permutations are ``md5(i || ':' || token)`` — no modular
+  multiply, so no a·x+b overflow divergence; k=16 sigs, 4 bands × 4
+  rows for LSH banding.
+* At scale: exact dedup is one hash-shuffle; MinHash is
+  explode(tokens)×k → groupBy(doc) (partial agg map-side) → band
+  groupBy; pair generation only within LSH buckets (the classic
+  bound on candidate pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+# --- 60-bit token hash ------------------------------------------------------
+# Spark:  conv(substr(md5(s),1,15),16,10) cast bigint
+# DuckDB: cast('0x' || substr(md5(s),1,15) as bigint)
+
+
+def hash60_col(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the smallest doc_id per identical text; emit group size."""
+    return (docs
+            .groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_dups"))
+            )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenization (shared shape: split on single space, drop empties)
+# ---------------------------------------------------------------------------
+
+def tokens(docs: DataFrame) -> DataFrame:
+    return (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.col("tok") != ""))
+
+
+TOKENS_SQL = """
+(SELECT doc_id, tok FROM (
+   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) q
+ WHERE tok <> '')
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, perm, sig): sig = min over DISTINCT tokens of
+    hash60(perm || ':' || token)."""
+    t = tokens(docs).distinct()
+    perms = F.explode(F.sequence(F.lit(0), F.lit(K_MINHASH - 1))).alias("perm")
+    return (t.select("doc_id", "tok", perms)
+            .withColumn("h", hash60_col(
+                F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("tok"))))
+            .groupBy("doc_id", "perm")
+            .agg(F.min("h").alias("sig")))
+
+
+MINHASH_SIG_SQL = f"""
+(SELECT doc_id, perm, min(h) AS sig FROM (
+   SELECT doc_id, perm,
+          {hash60_sql("concat(cast(perm as string), ':', tok)")} AS h
+   FROM (SELECT DISTINCT doc_id, tok FROM {TOKENS_SQL} qt) q1
+   CROSS JOIN (SELECT unnest(range(0, {K_MINHASH})) AS perm) q2
+ ) q3 GROUP BY doc_id, perm)
+"""
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): md5 over the band's ordered sigs."""
+    sig = minhash_signatures(docs)
+    band = (F.col("perm") / ROWS_PER_BAND).cast("int")
+    return (sig.withColumn("band", band)
+            .groupBy("doc_id", "band")
+            .agg(F.md5(F.concat_ws(",", F.array_sort(
+                F.collect_list(F.format_string("%02d:%d", "perm", "sig"))
+            ))).alias("band_key")))
+
+
+MINHASH_BANDS_SQL = f"""
+(SELECT doc_id, band,
+        md5(string_agg(printf('%02d:%d', perm, sig), ',' ORDER BY
+            printf('%02d:%d', perm, sig))) AS band_key
+ FROM (SELECT doc_id, perm, sig,
+              cast(floor(perm / {ROWS_PER_BAND}.0e0) as int) AS band
+       FROM {MINHASH_SIG_SQL} qs) q
+ GROUP BY doc_id, band)
+"""
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: share ≥1 LSH band bucket; score =
+    fraction of equal signature components (MinHash Jaccard estimate)."""
+    bands = minhash_bands(docs)
+    pairs = (bands.alias("a")
+             .join(bands.alias("b"),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sig = minhash_signatures(docs)
+    est = (pairs
+           .join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+           .join(sig.alias("sb"),
+                 (F.col("doc_b") == F.col("sb.doc_id"))
+                 & (F.col("sa.perm") == F.col("sb.perm")))
+           .groupBy("doc_a", "doc_b")
+           .agg((F.sum(F.when(F.col("sa.sig") == F.col("sb.sig"), 1)
+                       .otherwise(0)) / F.lit(float(K_MINHASH))).alias("est_jaccard")))
+    return est
+
+
+MINHASH_PAIRS_SQL = f"""
+(SELECT doc_a, doc_b,
+        sum(case when sa.sig = sb.sig then 1 else 0 end) / {float(K_MINHASH)!r}e0 AS est_jaccard
+ FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM {MINHASH_BANDS_SQL} a JOIN {MINHASH_BANDS_SQL} b
+         ON a.band = b.band AND a.band_key = b.band_key
+        AND a.doc_id < b.doc_id) p
+ JOIN {MINHASH_SIG_SQL} sa ON p.doc_a = sa.doc_id
+ JOIN {MINHASH_SIG_SQL} sb ON p.doc_b = sb.doc_id AND sa.perm = sb.perm
+ GROUP BY doc_a, doc_b)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, token-count weighted)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    t = tokens(docs).withColumn("h", hash60_col(F.col("tok")))
+    bits = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
+    per_bit = (t.select("doc_id", "h", bits)
+               .withColumn("w", F.when(
+                   F.expr("shiftright(h, b) % 2") == 1, 1).otherwise(-1))
+               .groupBy("doc_id", "b")
+               .agg(F.sum("w").alias("s")))
+    return (per_bit
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("s") > 0,
+                              F.expr("shiftleft(cast(1 as bigint), b)"))
+                       .otherwise(0)).alias("simhash")))
+
+
+SIMHASH_SQL = f"""
+(SELECT doc_id,
+        sum(case when s > 0 then cast(1 as bigint) * (1 << b) else 0 end) AS simhash
+ FROM (
+   SELECT doc_id, b, sum(w) AS s FROM (
+     SELECT doc_id, b,
+            case when (h >> b) & 1 = 1 then 1 else -1 end AS w
+     FROM (SELECT doc_id, {hash60_sql('tok')} AS h FROM {TOKENS_SQL} qt) q1
+     CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) q2
+   ) q3 GROUP BY doc_id, b
+ ) q4 GROUP BY doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram Jaccard near-dup (exact, on bounded candidate pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        id_window: int = 25) -> DataFrame:
+    """Exact trigram-set Jaccard for doc pairs with nearby doc_ids
+    (bounded candidate generation; LSH covers the unbounded case)."""
+    w = (docs.select("doc_id", F.posexplode(F.split("text", " "))
+                     .alias("pos", "tok"))
+         .filter(F.col("tok") != ""))
+    g = (w.alias("w1")
+         .join(w.alias("w2"), (F.col("w1.doc_id") == F.col("w2.doc_id"))
+               & (F.col("w2.pos") == F.col("w1.pos") + 1))
+         .join(w.alias("w3"), (F.col("w1.doc_id") == F.col("w3.doc_id"))
+               & (F.col("w3.pos") == F.col("w1.pos") + 2))
+         .select(F.col("w1.doc_id").alias("doc_id"),
+                 F.concat_ws(" ", "w1.tok", "w2.tok", "w3.tok").alias("gram"))
+         .distinct())
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (g.alias("a").join(
+                 g.alias("b"),
+                 (F.col("a.gram") == F.col("b.gram"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id"))
+                 & (F.col("b.doc_id") <= F.col("a.doc_id") + id_window))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b", "n_inter",
+                    (F.col("n_inter")
+                     / (F.col("sa.n_grams") + F.col("sb.n_grams")
+                        - F.col("n_inter"))).alias("jaccard")))
+
+
+def ngram_jaccard_sql(id_window: int = 25) -> str:
+    grams = """
+ (SELECT DISTINCT doc_id, gram FROM (
+    SELECT w1.doc_id AS doc_id,
+           concat(w1.tok, ' ', w2.tok, ' ', w3.tok) AS gram
+    FROM pos_words w1
+    JOIN pos_words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+    JOIN pos_words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2) qg)
+"""
+    return f"""
+WITH pos_words AS (
+  SELECT doc_id, pos - 1 AS pos, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) q WHERE tok <> ''
+), grams AS {grams},
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+   AND b.doc_id <= a.doc_id + {id_window}
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_inter,
+       n_inter / (sa.n_grams + sb.n_grams - n_inter) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token stats, quality score, language-ID, fingerprint
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        n_stop.alias("n_stopwords"),
+        (n_stop / F.size(toks)).alias("stopword_ratio"),
+        (F.length("text") / F.size(toks)).alias("avg_token_len"),
+        F.md5(F.lower(F.regexp_replace("text", " +", " "))).alias("fingerprint"),
+    )
+
+
+def text_stats_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+SELECT doc_id, n_tokens, n_chars_m, n_stopwords,
+       n_stopwords / cast(n_tokens as double) AS stopword_ratio,
+       n_chars_m / cast(n_tokens as double) AS avg_token_len,
+       md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fingerprint
+FROM (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         length(text) AS n_chars_m,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ({stop_list}))) AS n_stopwords
+  FROM documents) q
+"""
+
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "de", "que"),
+    "sl": ("je", "in", "se"),
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Deterministic marker-vote language heuristic; ties → 'und'.
+    (Real corpora carry a lang column; this reimplements the n-gram
+    heuristic family for corpora that don't.)"""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+                      .alias(f"score_{lang}"))
+    df = docs.select("doc_id", "lang", *scores)
+    best = F.greatest(*[F.col(f"score_{c}") for c in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # first max in fixed dict order wins
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return df.withColumn("pred_lang", pred)
+
+
+def lang_id_sql() -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t IN ({lst}))) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join('score_' + c for c in langs)})"
+    whens = " ".join(
+        f"when score_{c} = best then '{c}'" for c in langs)
+    return f"""
+SELECT doc_id, lang, {', '.join('score_' + c for c in langs)},
+       case when best = 0 then 'und' {whens} end AS pred_lang
+FROM (SELECT doc_id, lang, {', '.join('score_' + c for c in langs)},
+             {best} AS best
+      FROM (SELECT doc_id, lang, text, {', '.join(score_cols)}
+            FROM documents) q1) q2
+"""

@@ -40,7 +40,10 @@ def _bucket_hash(df: DataFrame) -> DataFrame:
     xxhash64 over the concatenated row repr (integer sum wraps
     identically everywhere)."""
     cols = [c for c in df.columns if c != "bucket"]
-    row_h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    # mod-reduced so the sum cannot overflow int64 under ANSI mode even
+    # at 10^9 rows/bucket (1e9 · (1e9+7) < 2^63)
+    row_h = F.pmod(F.xxhash64(*[F.col(c).cast("string") for c in cols]),
+                   F.lit(1_000_000_007))
     return df.groupBy("bucket").agg(
         F.count("*").alias("n_rows"),
         F.sum(row_h).alias("value_hash"))

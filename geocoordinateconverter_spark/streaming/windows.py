@@ -46,6 +46,9 @@ def windowed_event_agg_streaming(spark: SparkSession, parquet_path: str,
     ``trigger(availableNow=True)`` for batch-equivalent runs."""
     batch_schema = spark.read.parquet(parquet_path).schema
     stream = (spark.readStream.schema(batch_schema).parquet(parquet_path)
+              # parquet NTZ → TIMESTAMP (session TZ is pinned UTC);
+              # watermarks require the instant type
+              .withColumn("ts", F.col("ts").cast("timestamp"))
               .withWatermark("ts", watermark))
     win = F.window("ts", f"{WINDOW_S} seconds")
     return (stream

@@ -1,0 +1,134 @@
+"""Operator-layer tests: checkpoint resumability, streaming/batch
+equivalence, salting equivalence, dedup kernels, entry() smoke."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geocoordinateconverter_spark.operators import checkpoint as cp
+from geocoordinateconverter_spark.operators import multimodal as mm
+from geocoordinateconverter_spark.operators import similarity as sim
+from geocoordinateconverter_spark.operators import tiles
+from geocoordinateconverter_spark.streaming import windows as sw
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_checkpoint_resume(spark, docs, tmp_path_factory):
+    """north_star resumability: crash mid-write → rerun skips completed
+    buckets and the final table equals a clean one-shot write."""
+    out1 = str(tmp_path_factory.mktemp("ckpt") / "out_crash")
+    out2 = str(tmp_path_factory.mktemp("ckpt") / "out_clean")
+    df = docs.select("doc_id", "text", "lang")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cp.checkpointed_write(df, out1, key="doc_id", n_buckets=8,
+                              fail_after_bucket=3)
+    m1 = cp.manifest(spark, out1).collect()
+    assert len(m1) == 4  # buckets 0..3 committed before the crash
+
+    res = cp.checkpointed_write(df, out1, key="doc_id", n_buckets=8)
+    assert sorted(res["skipped"]) == [0, 1, 2, 3]
+    assert sorted(res["written"]) == [4, 5, 6, 7]
+
+    cp.checkpointed_write(df, out2, key="doc_id", n_buckets=8)
+    a = cp.read_checkpointed(spark, out1).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = cp.read_checkpointed(spark, out2).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    # manifest value hashes match bucket-for-bucket (byte-equivalence)
+    ma = {r.bucket: r.value_hash for r in cp.manifest(spark, out1).collect()}
+    mb = {r.bucket: r.value_hash for r in cp.manifest(spark, out2).collect()}
+    assert ma == mb
+
+
+def test_streaming_equals_batch(spark, tmp_path_factory):
+    import shutil
+    base = tmp_path_factory.mktemp("stream")
+    ck = str(base / "ck")
+    events_dir = base / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "part-0.parquet")
+    events_path = str(events_dir)
+    batch = sw.windowed_event_agg(spark.read.parquet(events_path)) \
+        .toPandas().sort_values(["win", "event_type"]).reset_index(drop=True)
+    sdf = sw.windowed_event_agg_streaming(spark, events_path, ck)
+    q = (sdf.writeStream.format("memory").queryName("winagg")
+         .outputMode("complete").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("winagg").toPandas()
+           .sort_values(["win", "event_type"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[batch.columns.tolist()].astype(batch.dtypes.to_dict()), batch)
+
+
+@pytest.fixture(scope="module")
+def skewed_pts(spark):
+    rng = np.random.default_rng(5)
+    n = 40000
+    hot = rng.random(n) < 0.6
+    fi = np.where(hot, 46.05 + 0.002 * rng.random(n),
+                  rng.uniform(45.25, 47.0, n))
+    la = np.where(hot, 14.51 + 0.002 * rng.random(n),
+                  rng.uniform(13.25, 16.75, n))
+    return spark.createDataFrame(pd.DataFrame(
+        {"k": np.arange(n), "fi": fi, "la": la}))
+
+
+def test_salted_agg_equals_unsalted(spark, skewed_pts):
+    plain = (skewed_pts
+             .withColumn("cell", __import__(
+                 "geocoordinateconverter_spark.kernels",
+                 fromlist=["cell_col"]).cell_col(F.col("fi"), F.col("la"), 7))
+             .groupBy("cell")
+             .agg(F.count("*").alias("n_pts"),
+                  F.countDistinct("k").alias("n_distinct"))
+             .toPandas().sort_values("cell").reset_index(drop=True))
+    salted = (tiles.salted_tile_agg(skewed_pts, key="k", n_salt=8)
+              .toPandas().sort_values("cell").reset_index(drop=True))
+    pd.testing.assert_frame_equal(salted[plain.columns.tolist()], plain)
+
+
+def test_salt_factor_detects_hot_cell(spark, skewed_pts):
+    top = tiles.hot_cells(skewed_pts, top_k=3)
+    # 60 % of 40k rows in a ~2-cell cluster → the hot cell is orders of
+    # magnitude above the ~1.4-row uniform expectation per res-7 cell
+    assert top[0][1] > 3000
+    assert tiles.salt_factor(skewed_pts, target_rows_per_task=1000) > 1
+
+
+def test_dot_udf_matches_unrolled(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(200)
+    pairs = (emb.alias("a").crossJoin(emb.alias("b").limit(5))
+             .select(F.col("a.embedding").alias("ea"),
+                     F.col("b.embedding").alias("eb")))
+    unrolled = pairs.select(sim.dot_col("ea", "eb").alias("d")).toPandas()
+    udf = sim.dot_pandas_udf()
+    via_udf = pairs.select(udf(F.col("ea"), F.col("eb")).alias("d")).toPandas()
+    np.testing.assert_array_equal(unrolled["d"].to_numpy(),
+                                  via_udf["d"].to_numpy())
+
+
+def test_multimodal_stub_and_features(spark, docs):
+    feats = mm.extract_features(mm.html_binary(docs), "html", "raw").toPandas()
+    assert len(feats) == docs.count()
+    assert (feats["n_bytes"] > 25).all()  # wrapper adds 27 bytes
+    assert feats["magic"].iloc[0] == "3c68746d"  # '<htm'
+    assert ((feats["byte_entropy"] > 0) & (feats["byte_entropy"] < 8)).all()
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"xx", "jpeg")
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"cell", "mun_id", "n_docs", "avg_h"}

@@ -1,0 +1,167 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling protocol).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": ..., "value": <flagship wall s>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "flagship_rows": N, "flagship_docs_per_sec": X}
+
+The flagship query IS the BASELINE.json metric pipeline: derive D48/GK
+coordinates for every lineitem row (codegen) → t=3 datum conversion
+(fused Arrow pandas UDF) → grid-cell encode (codegen) → PIP broadcast
+join vs municipality polygons → salted tile aggregation.  docs/sec is
+input rows / wall-clock of the full pipeline.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``tools/scaling_bench.py`` which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from geocoordinateconverter_spark import kernels  # noqa: E402
+from geocoordinateconverter_spark.operators import pip as pip_op  # noqa: E402
+from geocoordinateconverter_spark.operators import similarity as sim  # noqa: E402
+from geocoordinateconverter_spark.operators import textdedup as td  # noqa: E402
+from geocoordinateconverter_spark.operators import tiles  # noqa: E402
+from geocoordinateconverter_spark.plans.session import build_session  # noqa: E402
+from geocoordinateconverter_spark.sources import webpages as wp  # noqa: E402
+
+
+def flagship(spark, sf_dir, mult: int = 1):
+    """BASELINE.json metric: D48/GK→WGS84 (t=3) + PIP join + tile agg.
+
+    ``mult`` replicates the derived point set with distinct keys
+    (k·mult+i) — used by the scaling study so compute dominates fixed
+    overheads at higher core counts; identical input at every
+    parallelism level.
+    """
+    # The sandbox parquet is a single file → a single input split,
+    # which would serialize every downstream stage; a real 100 TB scan
+    # arrives in thousands of splits.  Simulate that honestly: shuffle
+    # ONLY the 8-byte key column across defaultParallelism partitions,
+    # then derive coordinates and run the heavy stages post-shuffle.
+    par = spark.sparkContext.defaultParallelism
+    gk = entrymod.sg.gk_points_sql("k")
+    keys = (spark.sql(f"SELECT {entrymod.LKEY} AS k0 FROM lineitem")
+            .repartition(par))
+    keys.createOrReplaceTempView("bench_keys")
+    if mult > 1:
+        key_expr = f"k0 * {mult} + i"
+        frm = (f"(SELECT {key_expr} AS k FROM bench_keys "
+               f"LATERAL VIEW explode(sequence(0, {mult - 1})) t AS i) q_k")
+    else:
+        frm = "(SELECT k0 AS k FROM bench_keys) q_k"
+    src = spark.sql(
+        f"SELECT k, {gk['x']} AS x, {gk['y']} AS y, {gk['h']} AS h FROM {frm}")
+    t3 = kernels.transform_udf(3)
+    conv = (src.withColumn("o", t3(F.col("x"), F.col("y"), F.col("h")))
+            .select("k", F.col("o.fi").alias("fi"), F.col("o.la").alias("la"),
+                    F.col("o.h").alias("h")))
+    hits = pip_op.pip_join(conv, spark)
+    return tiles.salted_tile_agg(hits, key="k", n_salt=8)
+
+
+def q_tile(spark, sf_dir):
+    src = spark.sql(f"SELECT * FROM {entrymod.SRC_GK_LINEITEM}")
+    t3 = kernels.transform_udf(3)
+    conv = src.withColumn("o", t3(F.col("x"), F.col("y"), F.col("h")))
+    return (conv.withColumn("cell",
+                            kernels.cell_col(F.col("o.fi"), F.col("o.la"), 7))
+            .groupBy("cell").agg(F.count("*").alias("n")))
+
+
+def q_geoparse(spark, sf_dir):
+    pages = spark.sql(f"SELECT * FROM {wp.webpages_sql('documents')} w")
+    pages.createOrReplaceTempView("webpages")
+    return spark.sql(f"SELECT url, x, y, h FROM {wp.geoparse_gk_sql('webpages')} g")
+
+
+def q_knn(spark, sf_dir):
+    from geocoordinateconverter_spark.operators import knn as knn_op
+    pts = spark.sql(f"SELECT * FROM {entrymod.SRC_WGS_ORDERS}")
+    return knn_op.knn_join(pts, spark, key="k", k=3)
+
+
+def q_minhash(spark, sf_dir):
+    return td.minhash_pairs(spark.table("documents"))
+
+
+def q_ann(spark, sf_dir):
+    return sim.brute_force_topk(spark.table("embeddings"), k=5)
+
+
+def q_dedup(spark, sf_dir):
+    return td.exact_dedup(spark.table("documents"))
+
+
+def q_tpch1(spark, sf_dir):
+    return entrymod.queries()["tpch_q1_pricing"](spark, sf_dir)
+
+
+BENCH_QUERIES = {
+    "tile_t3_cells": q_tile,
+    "geoparse_gk": q_geoparse,
+    "knn_join": q_knn,
+    "minhash_lsh_pairs": q_minhash,
+    "ann_cosine_topk": q_ann,
+    "dedup_exact": q_dedup,
+    "tpch_q1": q_tpch1,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_MULT", "1"))
+    flagship_only = os.environ.get("SPARK_GRAFT_ONLY", "") == "flagship"
+    spark = build_session("bench", cores=cores, shuffle_partitions=cores)
+    entrymod._register(spark, sf_dir)
+
+    n_docs = spark.table("lineitem").count() * mult
+
+    # warm-up: JIT + Python worker pool spin-up on a small slice, so the
+    # measured runs see steady-state executors (same treatment for every
+    # parallelism level)
+    flagship(spark, sf_dir).limit(1).count()
+
+    t0 = time.time()
+    flagship_rows = flagship(spark, sf_dir, mult).count()
+    flagship_s = time.time() - t0
+
+    times: dict[str, float] = {"flagship_t3_pip_tile": round(flagship_s, 3)}
+    if not flagship_only:
+        for name, fn in BENCH_QUERIES.items():
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "D48/GK→WGS84 (t=3) + PIP join + salted tile agg wall-clock",
+        "value": round(flagship_s, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cores": cores,
+        "flagship_input_rows": n_docs,
+        "flagship_out_rows": flagship_rows,
+        "flagship_docs_per_sec": round(n_docs / flagship_s, 1),
+    }
+    print(json.dumps(out, ensure_ascii=False))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -213,18 +213,30 @@ _HELMERT_T = np.array(
 )
 
 
+# The 3×3 application is written as explicit elementwise arithmetic,
+# NOT a BLAS matmul: inside 32 parallel Arrow workers a threaded BLAS
+# would oversubscribe (workers × BLAS threads), and for a constant 3×3
+# the elementwise form is faster and bit-stable anyway.
+
 def helmert_d48_to_etrs89(x, y, z):
-    xyz = np.stack([np.asarray(x, np.float64), np.asarray(y, np.float64),
-                    np.asarray(z, np.float64)], axis=0)
-    out = _HELMERT_M @ xyz + _HELMERT_T[:, None]
-    return out[0], out[1], out[2]
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    m = _HELMERT_M
+    t = _HELMERT_T
+    return (m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + t[0],
+            m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + t[1],
+            m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + t[2])
 
 
 def helmert_etrs89_to_d48(x, y, z):
-    xyz = np.stack([np.asarray(x, np.float64), np.asarray(y, np.float64),
-                    np.asarray(z, np.float64)], axis=0)
-    out = _HELMERT_M_INV @ (xyz - _HELMERT_T[:, None])
-    return out[0], out[1], out[2]
+    dx = np.asarray(x, np.float64) - _HELMERT_T[0]
+    dy = np.asarray(y, np.float64) - _HELMERT_T[1]
+    dz = np.asarray(z, np.float64) - _HELMERT_T[2]
+    m = _HELMERT_M_INV
+    return (m[0, 0] * dx + m[0, 1] * dy + m[0, 2] * dz,
+            m[1, 0] * dx + m[1, 1] * dy + m[1, 2] * dz,
+            m[2, 0] * dx + m[2, 1] * dy + m[2, 2] * dz)
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,14 @@ def build_session(app: str = "geocoordinateconverter-spark",
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cores
+    # One BLAS/OpenMP thread per Python worker: task-level parallelism
+    # already saturates the cores; a threaded BLAS inside N workers
+    # oversubscribes N× and collapses throughput (measured 13× on the
+    # PIP stage at local[32]).  Python workers inherit the driver env
+    # in local mode; on a cluster ship the same via spark.executorEnv.*.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t7_gk_to_wgs84_aft"] = _chain_query(7, SRC_GK_LINEITEM, "k % 59 = 0",
                                            (8, 8, None))
 
+    q["t8_wgs84_to_gk_aft"] = _chain_query(8, SRC_WGS_ORDERS, "k % 19 = 0",
+                                           (2, 2, None))
+
     def q_t10(spark, sf_dir):
         _register(spark, sf_dir)
         src = spark.sql(f"SELECT * FROM {SRC_TM_LINEITEM} WHERE k % 61 = 0")
@@ -494,6 +497,13 @@ def oracle_sql() -> dict[str, str]:
     o["t7_gk_to_wgs84_aft"] = (
         f"SELECT k, round(fi, 8) AS fi_out, round(la, 8) AS la_out, h AS h_out "
         f"FROM {sg.xy2geo_sql(sg.D96_TM, _t7_tm, 'k', normalize=False)} q")
+
+    _t8_tm = (f"(SELECT k, x, y, h FROM {sg.t2_sql(f'(SELECT * FROM {SRC_WGS_ORDERS} WHERE k % 19 = 0) q_f', 'k')} q_t2)")
+    o["t8_wgs84_to_gk_aft"] = (
+        f"SELECT s.k AS k, round(s.ox, 2) AS x_out, round(s.oy, 2) AS y_out, "
+        f"p.h AS h_out "
+        f"FROM {sg.aft_scan_locate_sql(_t8_tm, 'k', 'tm_gk')} s "
+        f"JOIN {_t8_tm} p ON s.k = p.k")
 
     _tm61 = f"(SELECT * FROM {SRC_TM_LINEITEM} WHERE k % 61 = 0)"
     o["t10_tm_to_gk_aft"] = (

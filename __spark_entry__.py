@@ -66,6 +66,18 @@ _TM = sg.tm_points_sql("k")
 SRC_TM_LINEITEM = (f"(SELECT k, {_TM['x']} AS x, {_TM['y']} AS y, "
                    f"{_TM['h']} AS h FROM (SELECT {LKEY} AS k FROM lineitem) q_k) q_src")
 
+# Mixed coordinate-pair stream for the S2 classifier: kind cycles
+# through (fi,la), swapped (la,fi), (x,y), swapped (y,x) by k%4.
+_PW = sg.wgs_points_sql("k")
+_PG = sg.gk_points_sql("k")
+PAIR_SRC = (
+    f"(SELECT k, "
+    f"case when k % 4 = 0 then {_PW['fi']} when k % 4 = 1 then {_PW['la']} "
+    f"when k % 4 = 2 then {_PG['x']} else {_PG['y']} end AS c1, "
+    f"case when k % 4 = 0 then {_PW['la']} when k % 4 = 1 then {_PW['fi']} "
+    f"when k % 4 = 2 then {_PG['y']} else {_PG['x']} end AS c2 "
+    f"FROM (SELECT event_id AS k FROM events) q_k) q_pair")
+
 # DMS presentation formatting (util.c F2): D/M/S via integer math on
 # 0.1″-scaled total seconds + printf — dialect-neutral, pure codegen.
 _TOT = "cast(floor(fi * 36000.0e0) as bigint)"
@@ -273,6 +285,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"SELECT k, {DMS_FMT_SQL} AS dms FROM {SRC_WGS_ORDERS} "
             f"WHERE k % 17 = 0")
     q["dms_format"] = q_dms_format
+
+    # ---- S2: free-format pair classification (magnitude + -r swap) -------
+    def q_classify(spark, sf_dir):
+        _register(spark, sf_dir)
+        return spark.sql(
+            f"SELECT k, kind, a1, a2 "
+            f"FROM {wp.classify_pair_sql(PAIR_SRC, 'c1', 'c2')} q")
+    q["coord_pair_classify"] = q_classify
 
     # ================= training-data pipeline operators ===================
     def _docs(spark, sf_dir):
@@ -519,6 +539,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["dms_format"] = (
         f"SELECT k, {DMS_FMT_SQL} AS dms FROM {SRC_WGS_ORDERS} WHERE k % 17 = 0")
+
+    o["coord_pair_classify"] = (
+        f"SELECT k, kind, a1, a2 "
+        f"FROM {wp.classify_pair_sql(PAIR_SRC, 'c1', 'c2')} q")
 
     # ---- wave 2: training-data ops -------------------------------------
     o["dedup_exact"] = td.EXACT_DEDUP_SQL

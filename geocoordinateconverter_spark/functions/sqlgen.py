@@ -140,7 +140,7 @@ def _xy2geo_layers(proj: Projection, src: str, keep: str,
           cf
    FROM (
      SELECT {keep}, h, y, fi1,
-            sin(fi1) AS sf, cos(fi1) AS cf, tan(fi1) AS t,
+            sin(fi1) AS sf, cos(fi1) AS cf, sin(fi1) / cos(fi1) AS t,
             {f(e.ep2)} * cos(fi1) * cos(fi1) AS c1,
             {f(1.0)} - {f(e.e2)} * sin(fi1) * sin(fi1) AS w,
             {f(e.a)} / sqrt({f(1.0)} - {f(e.e2)} * sin(fi1) * sin(fi1)) AS n1
@@ -190,7 +190,7 @@ def geo2xy_sql(proj: Projection, src: str, keep: str) -> str:
         ) AS y
  FROM (
    SELECT {keep}, h,
-          tan(fir) AS t,
+          sin(fir) / cos(fir) AS t,
           {f(e.ep2)} * cos(fir) * cos(fir) AS c,
           dl * cos(fir) AS aa,
           {f(e.a)} / sqrt({f(1.0)} - {f(e.e2)} * sin(fir) * sin(fir)) AS n,

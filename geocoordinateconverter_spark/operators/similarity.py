@@ -102,12 +102,17 @@ def brute_force_topk(emb: DataFrame, k: int = 5,
     Plan: broadcast the query set (small) against the corpus — the big
     side streams through codegen, one window for ranking.
     """
-    q = emb.filter(query_filter).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
-    cand = (emb.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    # norms hoisted to per-vector projections (n vectors, not n·q pairs);
+    # values are bit-identical to inline recomputation, so the oracle's
+    # inline form still matches exactly
+    emb_n = emb.withColumn("c_n2", norm2_col("embedding"))
+    q = emb_n.filter(query_filter).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("c_n2").alias("q_n2"))
+    cand = (emb_n.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
             .withColumn("dot", dot_col("q_emb", "embedding"))
             .withColumn("cos", F.col("dot")
-                        / F.sqrt(norm2_col("q_emb") * norm2_col("embedding"))))
+                        / F.sqrt(F.col("q_n2") * F.col("c_n2"))))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
                                            F.col("vec_id").asc())
     return (cand.withColumn("rk", F.row_number().over(w))
@@ -150,12 +155,15 @@ def lsh_buckets_sql() -> str:
 def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
                     id_window: int = 50) -> DataFrame:
     """Embedding-cosine near-dup pairs within a doc_id window."""
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    emb_n = emb.withColumn("n2", norm2_col("embedding"))
+    a = emb_n.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("ea"), F.col("n2").alias("na"))
+    b = emb_n.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("eb"), F.col("n2").alias("nb"))
     pairs = (a.join(b, (F.col("id_a") < F.col("id_b"))
                     & (F.col("id_b") <= F.col("id_a") + id_window))
              .withColumn("cos", dot_col("ea", "eb")
-                         / F.sqrt(norm2_col("ea") * norm2_col("eb")))
+                         / F.sqrt(F.col("na") * F.col("nb")))
              .filter(F.col("cos") >= threshold))
     return pairs.select("id_a", "id_b", F.round("cos", 9).alias("cos_sim"))
 

@@ -116,6 +116,45 @@ def geoparse_gk_sql(src: str) -> str:
 """
 
 
+def classify_pair_sql(src: str, c1: str = "c1", c2: str = "c2") -> str:
+    """Free-format coordinate-pair classification — reimplementation of
+    the reference's magnitude dispatch + ``-r`` order reversal
+    (gk-slo.c parse loop, SURVEY.md §3.1 S2): values < 90 are degrees
+    (φ is the one in the latitude band, so a (λ, φ) pair is detected
+    and swapped); values ≥ 1000 are projected metres (easting lives in
+    the 300–700 km band, reduced/absolute northing below/above it).
+    Emits ``kind`` ('geo'|'xy'|'unknown') and normalized (a1, a2) =
+    (φ, λ) or (x northing, y easting).  Pure CASE arithmetic — runs
+    verbatim in Spark SQL and DuckDB."""
+    is_lat = lambda c: f"({c} >= 44.0e0 and {c} <= 48.0e0)"  # noqa: E731
+    is_lon = lambda c: f"({c} >= 12.0e0 and {c} <= 18.0e0)"  # noqa: E731
+    is_east = lambda c: f"({c} >= 300000.0e0 and {c} <= 700000.0e0)"  # noqa: E731
+    is_north = lambda c: (f"(({c} >= 0.0e0 and {c} < 300000.0e0) "
+                          f"or {c} > 4000000.0e0)")  # noqa: E731
+    return f"""
+(SELECT *,
+   case
+     when {is_lat(c1)} and {is_lon(c2)} then 'geo'
+     when {is_lon(c1)} and {is_lat(c2)} then 'geo'
+     when {is_north(c1)} and {is_east(c2)} then 'xy'
+     when {is_east(c1)} and {is_north(c2)} then 'xy'
+     else 'unknown' end AS kind,
+   case
+     when {is_lat(c1)} and {is_lon(c2)} then {c1}
+     when {is_lon(c1)} and {is_lat(c2)} then {c2}
+     when {is_north(c1)} and {is_east(c2)} then {c1}
+     when {is_east(c1)} and {is_north(c2)} then {c2}
+     end AS a1,
+   case
+     when {is_lat(c1)} and {is_lon(c2)} then {c2}
+     when {is_lon(c1)} and {is_lat(c2)} then {c1}
+     when {is_north(c1)} and {is_east(c2)} then {c2}
+     when {is_east(c1)} and {is_north(c2)} then {c1}
+     end AS a2
+ FROM {src})
+"""
+
+
 def geoparse_dms_sql(src: str) -> str:
     """DMS mentions → decimal degrees (util.c DMS parse — SURVEY.md
     §3.5 F1), as pure arithmetic on the extracted groups."""

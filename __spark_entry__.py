@@ -78,6 +78,20 @@ PAIR_SRC = (
     f"when k % 4 = 2 then {_PG['y']} else {_PG['x']} end AS c2 "
     f"FROM (SELECT event_id AS k FROM events) q_k) q_pair")
 
+# Synthetic WKT geometry table for the gk-shp analogue: pentagon per
+# supplier, vertices derived by integer mixing (shared Spark/DuckDB).
+def _geom_src() -> str:
+    verts = []
+    for j in range(5):
+        p = sg.tm_points_sql(f"(geom_id * 8 + {j})")
+        verts.append(f"printf('%.3f %.3f', {p['x']}, {p['y']})")
+    body = ", ', ', ".join(verts)
+    return (f"(SELECT geom_id, concat('POLYGON ((', {body}, '))') AS wkt "
+            f"FROM (SELECT s_suppkey AS geom_id FROM supplier) q_g)")
+
+
+GEOM_SRC = _geom_src()
+
 # DMS presentation formatting (util.c F2): D/M/S via integer math on
 # 0.1″-scaled total seconds + printf — dialect-neutral, pure codegen.
 _TOT = "cast(floor(fi * 36000.0e0) as bigint)"
@@ -294,6 +308,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"FROM {wp.classify_pair_sql(PAIR_SRC, 'c1', 'c2')} q")
     q["coord_pair_classify"] = q_classify
 
+    # ---- S5/S6: gk-shp analogue — WKT vertex-array conversion ------------
+    def q_geom(spark, sf_dir):
+        _register(spark, sf_dir)
+        from geocoordinateconverter_spark.operators import geometry as geom
+        src = spark.sql(f"SELECT * FROM {GEOM_SRC} g")
+        return geom.convert_geometry(src, t=5)
+    q["geometry_wkt_convert"] = q_geom
+
     # ================= training-data pipeline operators ===================
     def _docs(spark, sf_dir):
         _register(spark, sf_dir)
@@ -316,6 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf_dir)
         return sim.lsh_buckets(spark.table("embeddings"))
     q["ann_lsh_buckets"] = q_lsh
+
+    def q_lsh_topk(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.lsh_topk(spark.table("embeddings"), k=5)
+    q["ann_lsh_topk"] = q_lsh_topk
 
     def q_cnd(spark, sf_dir):
         _register(spark, sf_dir)
@@ -540,6 +567,10 @@ def oracle_sql() -> dict[str, str]:
     o["dms_format"] = (
         f"SELECT k, {DMS_FMT_SQL} AS dms FROM {SRC_WGS_ORDERS} WHERE k % 17 = 0")
 
+    from geocoordinateconverter_spark.operators import geometry as _geom
+    o["geometry_wkt_convert"] = _geom.convert_geometry_oracle_sql(
+        f"{GEOM_SRC} g", sg.t5_sql)
+
     o["coord_pair_classify"] = (
         f"SELECT k, kind, a1, a2 "
         f"FROM {wp.classify_pair_sql(PAIR_SRC, 'c1', 'c2')} q")
@@ -555,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
     o["lang_id"] = td.lang_id_sql()
     o["ann_cosine_topk"] = sim.brute_force_topk_sql(k=5)
     o["ann_lsh_buckets"] = sim.lsh_buckets_sql()
+    o["ann_lsh_topk"] = sim.lsh_topk_sql(k=5)
     o["embedding_near_dup"] = sim.cosine_near_dup_sql(threshold=0.25, id_window=50)
     o["multimodal_meta"] = (
         "SELECT doc_id, octet_length(html) AS n_bytes, "

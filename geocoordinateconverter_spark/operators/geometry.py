@@ -1,0 +1,92 @@
+"""Geometry (vertex-array) conversion — the ``gk-shp`` analogue.
+
+The reference's second binary (``gk-shp.c`` + vendored shapelib —
+SURVEY.md §3.1 S5/S6, §4.2) converts shapefiles vertex-by-vertex with
+attributes passed through.  The Spark-native equivalent stores geometry
+as WKT string columns (SURVEY.md §2.2 "shapefile in/out" row) and
+re-expresses the per-vertex loop as: parse → ``posexplode`` vertices →
+batch-convert through the same chain kernels → re-assemble WKT in
+vertex order.  Attributes ride along untouched (gk-shp's DBF
+passthrough ≙ untouched columns).
+
+Everything except the chain kernel is Catalyst built-ins; vertex order
+is preserved via the explode index, so output WKT is deterministic.
+The whole flow is SQL-mirrorable (DuckDB twin below) — number
+formatting uses ``printf('%.3f')`` (mm), the reference's projected
+output precision (SURVEY.md §3.1 S4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import transform_udf
+
+VERTEX_RE = r"(-?[0-9]+\.?[0-9]*) (-?[0-9]+\.?[0-9]*)"
+
+
+def wkt_vertices(df: DataFrame, geom_id: str = "geom_id",
+                 wkt: str = "wkt") -> DataFrame:
+    """POLYGON/LINESTRING WKT → one row per vertex (geom_id, idx, x, y).
+    Pure built-ins: regex strip → split on ', ' → posexplode → split."""
+    body = F.regexp_replace(F.col(wkt), r"^[A-Z]+ ?\(+|\)+$", "")
+    parts = F.split(body, ", ")
+    return (df.select(geom_id, F.posexplode(parts).alias("idx", "pair"))
+            .withColumn("vx", F.split("pair", " ")[0].cast("double"))
+            .withColumn("vy", F.split("pair", " ")[1].cast("double"))
+            .drop("pair"))
+
+
+def convert_geometry(df: DataFrame, t: int = 9, geom_id: str = "geom_id",
+                     wkt: str = "wkt", geom_type: str = "POLYGON") -> DataFrame:
+    """WKT geometry column → converted WKT via chain ``t`` applied to
+    every vertex (gk-shp.c per-vertex loop, batched).  Vertex columns
+    are (x, y) in the chain's projected input convention."""
+    verts = wkt_vertices(df, geom_id, wkt)
+    udf = transform_udf(t)
+    conv = verts.withColumn(
+        "o", udf(F.col("vx"), F.col("vy"), F.lit(0.0)))
+    o1, o2 = ("o.fi", "o.la") if t in (1, 3, 7) else ("o.x", "o.y")
+    fmt = "%.8f %.8f" if t in (1, 3, 7) else "%.3f %.3f"
+    pair = F.format_string(fmt, F.col(o1), F.col(o2))
+    assembled = (conv
+                 .groupBy(geom_id)
+                 .agg(F.concat_ws(", ", F.array_sort(F.collect_list(
+                     F.struct(F.col("idx"), pair.alias("p")))).getField("p"))
+                     .alias("body")))
+    return assembled.select(
+        geom_id,
+        F.concat(F.lit(f"{geom_type} (("), F.col("body"), F.lit("))"))
+        .alias("wkt_out"))
+
+
+def convert_geometry_oracle_sql(src: str, t_sql_fn, geom_id: str = "geom_id",
+                                geom_type: str = "POLYGON",
+                                fmt: str = "%.3f %.3f",
+                                out_cols: tuple[str, str] = ("x", "y")) -> str:
+    """DuckDB twin: split WKT → per-vertex chain SQL → ordered
+    string_agg.  ``t_sql_fn`` is a sqlgen chain generator whose input
+    subquery must expose columns (``{geom_id}, idx, x, y, h``)."""
+    verts = f"""
+(SELECT {geom_id}, idx - 1 AS idx,
+        cast(string_split(pair, ' ')[1] as double) AS x,
+        cast(string_split(pair, ' ')[2] as double) AS y,
+        0.0e0 AS h
+ FROM (
+   SELECT {geom_id},
+          unnest(string_split(regexp_replace(regexp_replace(wkt,
+                 '^[A-Z]+ ?\\(+', ''), '\\)+$', ''), ', ')) AS pair,
+          generate_subscripts(string_split(regexp_replace(regexp_replace(wkt,
+                 '^[A-Z]+ ?\\(+', ''), '\\)+$', ''), ', '), 1) AS idx
+   FROM {src}) q_u)
+"""
+    chain = t_sql_fn(verts, f"{geom_id}, idx")
+    a, b = out_cols
+    return f"""
+SELECT {geom_id},
+       concat('{geom_type} ((',
+              string_agg(printf('{fmt}', {a}, {b}), ', ' ORDER BY idx),
+              '))') AS wkt_out
+FROM ({chain}) q_conv GROUP BY {geom_id}
+"""

@@ -152,6 +152,51 @@ def lsh_buckets_sql() -> str:
             f"FROM embeddings")
 
 
+def lsh_topk(emb: DataFrame, k: int = 5,
+             query_filter: str = "vec_id % 50 = 0") -> DataFrame:
+    """IVF/LSH-bucketed ANN: candidates limited to vectors sharing the
+    query's hyperplane bucket, then exact-cosine rerank.  This is the
+    scale path — candidate generation is ONE hash-equi-join on the
+    bucket id (vs the brute-force cross join); recall is partial by
+    design (classic LSH trade-off), and the oracle replicates the same
+    bucket rule so results still compare exactly."""
+    b = emb.withColumn("bucket", lsh_bucket_col("embedding")) \
+           .withColumn("n2", norm2_col("embedding"))
+    q = b.filter(query_filter).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"), F.col("n2").alias("q_n2"))
+    cand = (b.join(F.broadcast(q),
+                   (F.col("bucket") == F.col("q_bucket"))
+                   & (F.col("vec_id") != F.col("q_id")))
+            .withColumn("cos", dot_col("q_emb", "embedding")
+                        / F.sqrt(F.col("q_n2") * F.col("n2"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "rk", F.round("cos", 9).alias("cos_sim")))
+
+
+def lsh_topk_sql(k: int = 5, query_filter: str = "vec_id % 50 = 0") -> str:
+    dot = dot_sql("q.q_emb", "c.embedding")
+    n1 = norm2_sql("q.q_emb")
+    n2 = norm2_sql("c.embedding")
+    qb = lsh_bucket_sql("q.q_emb")
+    cb = lsh_bucket_sql("c.embedding")
+    return f"""
+SELECT q_id, vec_id, rk, round(cos, 9) AS cos_sim FROM (
+  SELECT q.q_id AS q_id, c.vec_id AS vec_id,
+         {dot} / sqrt({n1} * {n2}) AS cos,
+         row_number() OVER (PARTITION BY q.q_id
+            ORDER BY {dot} / sqrt({n1} * {n2}) DESC, c.vec_id ASC) AS rk
+  FROM embeddings c
+  JOIN (SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE {query_filter}) q
+    ON {cb} = {qb} AND c.vec_id <> q.q_id) z
+WHERE rk <= {k}
+"""
+
+
 def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
                     id_window: int = 50) -> DataFrame:
     """Embedding-cosine near-dup pairs within a doc_id window."""

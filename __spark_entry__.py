@@ -443,6 +443,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("value"), 6).alias("sum_v")))
     q["range_join_bands"] = q_range
 
+    def q_sessionize(spark, sf_dir):
+        # sessionization: new session when the gap to the previous event
+        # of the same user exceeds 30 min — lag + conditional cumsum,
+        # all window functions (stateful-op analogue in batch form)
+        _register(spark, sf_dir)
+        e = spark.table("events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                                  F.col("event_id").asc())
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        df = (e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1)
+                           .otherwise(0))
+              .withColumn("session_id", F.sum("new_s").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+        return (df.groupBy("user_id", "session_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.min("event_id").alias("first_event"),
+                     F.round(F.sum("value"), 6).alias("sum_value")))
+    q["sessionize_events"] = q_sessionize
+
+    def q_cube(spark, sf_dir):
+        _register(spark, sf_dir)
+        e = spark.table("events")
+        return (e.cube("event_type", F.date_trunc("month", "ts").alias("mon"))
+                .agg(F.count("*").alias("n")))
+    q["cube_events"] = q_cube
+
     def q_evwin(spark, sf_dir):
         _register(spark, sf_dir)
         return sw.windowed_event_agg(spark.table("events"))
@@ -654,6 +680,26 @@ JOIN (SELECT i AS band_id, 100.0e0 * i AS lo, 100.0e0 * (i + 1) AS hi
       FROM (SELECT unnest(range(0, 10)) AS i) qi) b
   ON value >= lo AND value < hi
 GROUP BY band_id
+"""
+    o["sessionize_events"] = """
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, round(sum(value), 6) AS sum_value
+FROM (
+  SELECT user_id, event_id, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts, value,
+           case when epoch(ts) - epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800
+                or lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                then 1 else 0 end AS new_s
+    FROM events) q1) q2
+GROUP BY user_id, session_id
+"""
+    o["cube_events"] = """
+SELECT event_type, date_trunc('month', ts) AS mon, count(*) AS n
+FROM events GROUP BY CUBE (event_type, date_trunc('month', ts))
 """
     o["events_window_agg"] = sw.WINDOWED_EVENT_AGG_SQL
 

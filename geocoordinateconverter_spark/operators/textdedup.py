@@ -130,9 +130,19 @@ MINHASH_BANDS_SQL = f"""
 """
 
 
-def minhash_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs: share ≥1 LSH band bucket; score =
-    fraction of equal signature components (MinHash Jaccard estimate).
+MAX_BUCKET = 50  # skip degenerate buckets (bucket of m docs → m²/2
+# pairs; one 2.7k-member bucket measured at sf0.1 alone contributed
+# 3.6M of 13.3M candidates).  A bucket this hot means the band's
+# signature slice is non-discriminative for those docs — standard LSH
+# practice is to drop it; other bands still pair genuinely similar
+# docs.  The cap is part of the operator's semantics and the oracle
+# replicates it, so results stay exactly comparable.
+
+
+def minhash_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Candidate near-dup pairs: share ≥1 (non-degenerate) LSH band
+    bucket; score = fraction of equal signature components (MinHash
+    Jaccard estimate).
 
     The signature table is persisted: it feeds the band build AND both
     sides of the estimate join — without caching Spark recomputes the
@@ -141,6 +151,9 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     are k·n_docs rows of 3 numbers — tiny next to the corpus."""
     sig = minhash_signatures(docs).persist()
     bands = minhash_bands(docs, sig)
+    wb = Window.partitionBy("band", "band_key")
+    bands = (bands.withColumn("bsize", F.count("*").over(wb))
+             .filter(F.col("bsize") <= max_bucket).drop("bsize"))
     pairs = (bands.alias("a")
              .join(bands.alias("b"),
                    (F.col("a.band") == F.col("b.band"))
@@ -160,11 +173,19 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     return est
 
 
+_BANDS_CAPPED_SQL = f"""
+(SELECT doc_id, band, band_key FROM (
+   SELECT doc_id, band, band_key,
+          count(*) OVER (PARTITION BY band, band_key) AS bsize
+   FROM {MINHASH_BANDS_SQL} qb) qc
+ WHERE bsize <= {MAX_BUCKET})
+"""
+
 MINHASH_PAIRS_SQL = f"""
 (SELECT doc_a, doc_b,
         sum(case when sa.sig = sb.sig then 1 else 0 end) / {float(K_MINHASH)!r}e0 AS est_jaccard
  FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       FROM {MINHASH_BANDS_SQL} a JOIN {MINHASH_BANDS_SQL} b
+       FROM {_BANDS_CAPPED_SQL} a JOIN {_BANDS_CAPPED_SQL} b
          ON a.band = b.band AND a.band_key = b.band_key
         AND a.doc_id < b.doc_id) p
  JOIN {MINHASH_SIG_SQL} sa ON p.doc_a = sa.doc_id

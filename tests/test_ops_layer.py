@@ -132,3 +132,35 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"cell", "mun_id", "n_docs", "avg_h"}
+
+
+def test_stateful_streaming_dedup(spark, docs, tmp_path_factory):
+    """applyInPandasWithState dedup ≡ batch exact_dedup on the same
+    corpus (streaming/stateful.py)."""
+    import shutil
+
+    from geocoordinateconverter_spark.operators import textdedup as td
+    from geocoordinateconverter_spark.streaming import stateful
+
+    base = tmp_path_factory.mktemp("sdedup")
+    src_dir = base / "docs"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", src_dir / "part-0.parquet")
+
+    batch = (td.exact_dedup(spark.read.parquet(str(src_dir)))
+             .toPandas().sort_values("text_md5").reset_index(drop=True))
+
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    out = stateful.streaming_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("sdedup")
+         .outputMode("update")
+         .option("checkpointLocation", str(base / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("sdedup").toPandas()
+           .sort_values("text_md5").reset_index(drop=True))
+    # same groups, same keeper, same counts (column name differs: n_dups)
+    assert list(got["text_md5"]) == list(batch["text_md5"])
+    assert list(got["keep_doc_id"]) == list(batch["keep_doc_id"])
+    assert list(got["n_seen"]) == list(batch["n_dups"])

@@ -686,8 +686,8 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(event_id) AS first_event, round(sum(value), 6) AS sum_value
 FROM (
   SELECT user_id, event_id, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
   FROM (
     SELECT user_id, event_id, ts, value,
            case when epoch(ts) - epoch(lag(ts) OVER

@@ -218,7 +218,8 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 SIMHASH_SQL = f"""
 (SELECT doc_id,
-        sum(case when s > 0 then cast(1 as bigint) * (1 << b) else 0 end) AS simhash
+        cast(sum(case when s > 0 then cast(1 as bigint) * (1 << b) else 0 end)
+             as bigint) AS simhash
  FROM (
    SELECT doc_id, b, sum(w) AS s FROM (
      SELECT doc_id, b,

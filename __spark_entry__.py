@@ -259,6 +259,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return src.select("k", F.round(g(F.col("fi"), F.col("la")), 6).alias("geoid_n"))
     q["geoid_bilinear"] = q_geoid
 
+    def q_geoid_egm(spark, sf_dir):
+        _register(spark, sf_dir)
+        src = spark.sql(f"SELECT * FROM {_src_wgs('o_orderkey', 'orders')} "
+                        f"WHERE k % 3 = 0")
+        g = kernels.geoid_udf("egm")
+        return src.select("k", F.round(g(F.col("fi"), F.col("la")), 6)
+                          .alias("geoid_n"))
+    q["geoid_bilinear_egm"] = q_geoid_egm
+
     # ---- remaining chains: t4/t6 (Helmert inverse), t7–t10 (AFT) ---------
     q["t4_wgs84_to_gk"] = _chain_query(4, SRC_WGS_ORDERS, "k % 13 = 0", (2, 2, 2))
     q["t6_tm_to_gk"] = _chain_query(6, SRC_GK_LINEITEM, "k % 47 = 0", (2, 2, 2))
@@ -548,6 +557,11 @@ def oracle_sql() -> dict[str, str]:
     o["geoid_bilinear"] = (
         f"SELECT k, round(geoid_n, 6) AS geoid_n "
         f"FROM {sg.geoid_sql(_pts_orders, 'k', 'slo')} q")
+
+    _pts3 = f"(SELECT * FROM {_src_wgs('o_orderkey', 'orders')} WHERE k % 3 = 0)"
+    o["geoid_bilinear_egm"] = (
+        f"SELECT k, round(geoid_n, 6) AS geoid_n "
+        f"FROM {sg.geoid_sql(_pts3, 'k', 'egm')} q")
 
     # ---- wave 2: remaining chains --------------------------------------
     o["t4_wgs84_to_gk"] = _chain_oracle(sg.t4_sql, SRC_WGS_ORDERS, "k % 13 = 0",

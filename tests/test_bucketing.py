@@ -1,0 +1,48 @@
+"""Bucketed co-located join (SURVEY.md §3.6 "Co-locate joins via
+bucketing"): writing both sides bucketed+sorted on the join key lets
+Catalyst plan a SortMergeJoin with NO Exchange on either side — the
+at-scale answer for repeated big-big joins (e.g. docs ⋈ per-doc
+features at 10¹² rows, where a broadcast is impossible and a shuffle
+per query is the dominant cost)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_join_no_shuffle(spark, warehouse):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .mode("overwrite").saveAsTable("b_customer"))
+
+    j = (spark.table("b_orders")
+         .join(spark.table("b_customer"),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .groupBy("c_mktsegment").agg(F.count("*").alias("n")))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # the join itself reads pre-bucketed files: no Exchange below the SMJ
+    join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else ""
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in join_part.split("HashAggregate")[0]
+
+    # and the result matches the plain (shuffled) join
+    plain = (orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment").agg(F.count("*").alias("n")))
+    got = {r.c_mktsegment: r.n for r in j.collect()}
+    exp = {r.c_mktsegment: r.n for r in plain.collect()}
+    assert got == exp

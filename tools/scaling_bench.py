@@ -46,17 +46,8 @@ cores, mult, trials = {cores}, {mult}, {trials}
 spark = build_session("scaling", cores=cores, shuffle_partitions=cores)
 em._register(spark, {sf_dir!r})
 par = spark.sparkContext.defaultParallelism
-gk = em.sg.gk_points_sql("k")
-keys = spark.sql(f"SELECT {{em.LKEY}} AS k0 FROM lineitem").repartition(par)
-keys.createOrReplaceTempView("bench_keys")
-frm = (f"(SELECT k0 * {{mult}} + i AS k FROM bench_keys "
-       f"LATERAL VIEW explode(sequence(0, {{mult-1}})) t AS i) q_k")
-src = spark.sql(f"SELECT k, {{gk['x']}} AS x, {{gk['y']}} AS y, {{gk['h']}} AS h FROM {{frm}}")
-t3 = kernels.transform_udf(3)
-conv = (src.withColumn("o", t3(F.col("x"), F.col("y"), F.col("h")))
-        .select("k", F.col("o.fi").alias("fi"), F.col("o.la").alias("la"),
-                F.col("o.h").alias("h")))
-full = tiles.salted_tile_agg(pip_op.pip_join(conv, spark), key="k", n_salt=8)
+import bench
+full = bench.flagship(spark, {sf_dir!r}, mult)
 n_rows = full.count()  # warm-up (JIT, python worker pool, broadcast)
 times = []
 for _ in range(trials):
@@ -133,71 +124,9 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    md = f"""# BENCH/BASELINE — measured numbers (round 1)
-
-## Flagship pipeline (the BASELINE.json metric)
-
-derive D48/GK points (codegen) → **t=3 datum conversion** (fused Arrow
-pandas UDF: inverse Bessel projection → ECEF → 7-param Helmert →
-GRS80 geodetic) → grid-cell encode (codegen) → **PIP broadcast join**
-vs municipality octagons → **salted tile aggregation**.
-
-Input: {r_lo['input_rows']:,} points (lineitem sf0.1 keys × {mult}
-replication — identical at both levels), 1 warm-up + {trials} measured
-runs per level, min reported (low-noise estimator on a shared host).
-
-| parallelism | runs (s) | min s | docs/sec |
-|---|---|---|---|
-| local[{n}]  (N)  | {result[f'local{n}_times']} | {result[f'local{n}_min_s']} | {tp_lo:,.0f} |
-| local[{n4}] (4N) | {result[f'local{n4}_times']} | {result[f'local{n4}_min_s']} | {tp_hi:,.0f} |
-
-* **raw scaling efficiency (N→4N) = {raw_eff:.3f}** (target ≥ 0.8)
-* host FP ceiling at the same moment (process-parallel NumPy sin,
-  {n}→{n4} workers): ×{hw_scale:.2f} = efficiency {hw_eff:.3f}
-* **structural efficiency (job ÷ host ceiling) = {structural:.3f}**
-  — ≈1.0 means the job structure adds no serial bottleneck or skew
-  collapse beyond what the host silicon itself loses.
-
-### Why N={n} (not 8→32)
-
-This sandbox advertises 32 vCPUs, but measured aggregate FP throughput
-(process-parallel NumPy sin, no Spark involved) saturates at ≈10–16
-cores' worth and local[32] actively *thrashes* (oversubscribed shared
-host; JVM task threads + Python workers compete for ~half the claimed
-cores).  8→32 would therefore benchmark the hypervisor, not the job.
-N={n}→{n4} keeps both levels inside the machine's real capacity; the
-protocol remains "same job, same input, same config, N vs 4N cores"
-(BASELINE.md explicitly allows any N/4N pair).  On a real 1000-executor
-cluster the analogous guard is executors ≤ physical cores — standard
-capacity planning, not a property of this engine.
-
-Config: identical at both levels except `local[N]` and
-`spark.sql.shuffle.partitions = N` (plans/session.py: AQE on, Arrow
-batch 32k, UTC, OMP/BLAS pinned to 1 thread per worker, driver 8g).
-
-Caveat (BASELINE.md): local-mode shuffles are intra-host; this
-evidences parallel scalability of the job structure, not
-network-shuffle behavior.
-
-## Full bench suite
-
-`python bench.py` (local[$SPARK_GRAFT_CPUS], sf0.1) prints the one-line
-JSON the driver records as BENCH_r1.json; per-query timings included.
-
-## Reference baseline
-
-The reference publishes no benchmark numbers (SURVEY.md §7); its only
-perf tooling is `gk-slo -gd N` + a wall-clock print, unavailable here
-because /root/reference is an EMPTY mount (SURVEY.md §0).  Single-node
-comparison point: the same t=3 kernel measured pure-NumPy single-thread
-(see tests) runs ≈0.2–0.5 M pts/s/core on this host; the distributed
-pipeline above reaches {tp_hi/1e6:.1f} M pts/s end-to-end including
-parse, join, and aggregation — i.e. the engine matches-or-beats the
-reference's achievable single-core throughput by well over an order of
-magnitude at 4N parallelism.
-"""
+    # BENCH/BASELINE.md is curated by hand (it aggregates several
+    # protocol variants); this tool only records its raw JSON.
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
     (REPO / "BENCH" / "scaling_r1.json").write_text(json.dumps(result, indent=2))
 
 

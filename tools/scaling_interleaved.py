@@ -34,17 +34,8 @@ from geocoordinateconverter_spark.plans.session import build_session
 cores, mult = {cores}, {mult}
 spark = build_session("scaling", cores=cores, shuffle_partitions=cores)
 em._register(spark, "/root/testdata/sf0.1")
-gk = em.sg.gk_points_sql("k")
-keys = spark.sql(f"SELECT {{em.LKEY}} AS k0 FROM lineitem").repartition(cores)
-keys.createOrReplaceTempView("bench_keys")
-frm = (f"(SELECT k0 * {{mult}} + i AS k FROM bench_keys "
-       f"LATERAL VIEW explode(sequence(0, {{mult-1}})) t AS i) q_k")
-src = spark.sql(f"SELECT k, {{gk['x']}} AS x, {{gk['y']}} AS y, {{gk['h']}} AS h FROM {{frm}}")
-t3 = kernels.transform_udf(3)
-conv = (src.withColumn("o", t3(F.col("x"), F.col("y"), F.col("h")))
-        .select("k", F.col("o.fi").alias("fi"), F.col("o.la").alias("la"),
-                F.col("o.h").alias("h")))
-full = tiles.salted_tile_agg(pip_op.pip_join(conv, spark), key="k", n_salt=8)
+import bench
+full = bench.flagship(spark, "/root/testdata/sf0.1", mult)
 full.count()  # warm-up
 t0 = time.time(); full.count(); wall = time.time() - t0
 t0 = time.time(); full.count(); wall = min(wall, time.time() - t0)

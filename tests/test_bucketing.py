@@ -21,10 +21,16 @@ def warehouse(spark, tmp_path_factory):
 
 
 def test_bucketed_join_no_shuffle(spark, warehouse):
+    import shutil
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     customer = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    # a fresh session's catalog doesn't know tables from a previous
+    # process, so DROP won't clear their orphaned warehouse dirs
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
      .mode("overwrite").saveAsTable("b_orders"))
     (customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")

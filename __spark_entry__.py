@@ -317,6 +317,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"FROM {wp.classify_pair_sql(PAIR_SRC, 'c1', 'c2')} q")
     q["coord_pair_classify"] = q_classify
 
+    # ---- malformed-input policy (gk-slo.c: warn + skip, SURVEY §4.1) -----
+    def q_parse_rejects(spark, sf_dir):
+        # docs whose text carries no parseable coordinate mention are
+        # counted per lang and skipped, never aborting the job — the
+        # engine analogue of the reference's per-line warning + continue
+        _register(spark, sf_dir)
+        pages = spark.sql(f"SELECT * FROM {wp.webpages_sql('documents')} w")
+        pages.createOrReplaceTempView("webpages")
+        parsed = F.regexp_extract("page_text", wp.RE_DD, 1) != ""
+        parsed = parsed | (F.regexp_extract("page_text", wp.RE_GK, 1) != "")
+        parsed = parsed | (F.regexp_extract("page_text", wp.RE_DMS, 1) != "")
+        return (spark.table("webpages")
+                .withColumn("ok", parsed)
+                .groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_parsed"),
+                     F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_rejected")))
+    q["geoparse_reject_stats"] = q_parse_rejects
+
     # ---- S5/S6: gk-shp analogue — WKT vertex-array conversion ------------
     def q_geom(spark, sf_dir):
         _register(spark, sf_dir)
@@ -606,6 +625,18 @@ def oracle_sql() -> dict[str, str]:
 
     o["dms_format"] = (
         f"SELECT k, {DMS_FMT_SQL} AS dms FROM {SRC_WGS_ORDERS} WHERE k % 17 = 0")
+
+    o["geoparse_reject_stats"] = f"""
+SELECT lang, count(*) AS n_docs,
+       cast(sum(case when ok then 1 else 0 end) as bigint) AS n_parsed,
+       cast(sum(case when not ok then 1 else 0 end) as bigint) AS n_rejected
+FROM (SELECT lang,
+             (regexp_extract(page_text, '{wp.RE_DD}', 1) <> ''
+              or regexp_extract(page_text, '{wp.RE_GK}', 1) <> ''
+              or regexp_extract(page_text, '{wp.RE_DMS}', 1) <> '') AS ok
+      FROM {wp.webpages_sql('documents')} w) q
+GROUP BY lang
+"""
 
     from geocoordinateconverter_spark.operators import geometry as _geom
     o["geometry_wkt_convert"] = _geom.convert_geometry_oracle_sql(

@@ -356,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_pairs"] = lambda s, d: td.ngram_jaccard_pairs(_docs(s, d))
     q["text_stats"] = lambda s, d: td.text_stats(_docs(s, d))
     q["lang_id"] = lambda s, d: td.lang_id(_docs(s, d))
+    q["bpe_token_stats"] = lambda s, d: td.bpe_token_stats(_docs(s, d))
+    q["rolling_fingerprint"] = lambda s, d: td.rolling_fingerprint(_docs(s, d))
+    q["minhash_rerank_exact"] = lambda s, d: td.minhash_rerank_exact(_docs(s, d))
 
     def q_ann(spark, sf_dir):
         _register(spark, sf_dir)
@@ -655,6 +658,9 @@ GROUP BY lang
     o["ngram_jaccard_pairs"] = td.ngram_jaccard_sql()
     o["text_stats"] = td.text_stats_sql()
     o["lang_id"] = td.lang_id_sql()
+    o["bpe_token_stats"] = td.BPE_TOKEN_STATS_SQL
+    o["rolling_fingerprint"] = td.rolling_fingerprint_sql()
+    o["minhash_rerank_exact"] = td.minhash_rerank_exact_sql()
     o["ann_cosine_topk"] = sim.brute_force_topk_sql(k=5)
     o["ann_lsh_buckets"] = sim.lsh_buckets_sql()
     o["ann_lsh_topk"] = sim.lsh_topk_sql(k=5)

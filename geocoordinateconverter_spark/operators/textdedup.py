@@ -303,6 +303,154 @@ FROM inter JOIN sizes sa ON doc_a = sa.doc_id
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
+# BPE-ish pre-tokenizer regex (GPT-2-style approximation: letter runs,
+# single digits, punctuation runs) — identical semantics in Java regex
+# and RE2.
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+# polynomial rolling hash over whitespace tokens:
+#   fp = Σ_i (hash60(tok_i) % P) · B^(n-1-i)  mod P
+# order-sensitive (unlike a token-set hash); the SQL oracle uses a
+# generated VALUES table of B^k mod P so both engines fold the same
+# closed form with no sequential recurrence.
+ROLL_P = 1_000_000_007
+ROLL_B = 1_000_003
+ROLL_MAX_TOKENS = 512
+
+_POWERS = [1]
+for _ in range(ROLL_MAX_TOKENS):
+    _POWERS.append((_POWERS[-1] * ROLL_B) % ROLL_P)
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts per doc (brief: token counting)."""
+    ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+    return docs.select("doc_id", ws.alias("n_ws_tokens"),
+                       bpe.alias("n_bpe_tokens"),
+                       (bpe / ws).alias("bpe_per_word"))
+
+
+BPE_TOKEN_STATS_SQL = f"""
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       n_bpe_tokens / cast(n_ws_tokens as double) AS bpe_per_word
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens
+  FROM documents) q
+"""
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint per doc."""
+    w = (docs.select("doc_id",
+                     F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+         .filter(F.col("tok") != ""))
+    n = w.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    spark = docs.sparkSession
+    powers = spark.createDataFrame(
+        [(i, _POWERS[i]) for i in range(ROLL_MAX_TOKENS + 1)],
+        "k int, pw bigint")
+    term = (w.join(n, "doc_id")
+            .withColumn("th", F.pmod(hash60_col(F.col("tok")), F.lit(ROLL_P)))
+            .withColumn("k", (F.col("n_tok") - 1 - F.col("pos")).cast("int"))
+            .join(F.broadcast(powers), "k")
+            .withColumn("term", F.pmod(F.col("th") * F.col("pw"), F.lit(ROLL_P))))
+    return (term.groupBy("doc_id")
+            .agg(F.pmod(F.sum("term"), F.lit(ROLL_P)).alias("rolling_fp"),
+                 F.max("n_tok").alias("n_tok")))
+
+
+def rolling_fingerprint_sql() -> str:
+    rows = ", ".join(f"({i}, {_POWERS[i]})" for i in range(ROLL_MAX_TOKENS + 1))
+    return f"""
+SELECT doc_id, cast(sum(term) % {ROLL_P} as bigint) AS rolling_fp,
+       cast(max(n_tok) as bigint) AS n_tok
+FROM (
+  SELECT w.doc_id AS doc_id, n.n_tok AS n_tok,
+         (({hash60_sql('w.tok')} % {ROLL_P}) * p.pw) % {ROLL_P} AS term
+  FROM (SELECT doc_id, pos - 1 AS pos, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents) qw WHERE tok <> '') w
+  JOIN (SELECT doc_id, count(*) AS n_tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents) qn WHERE tok <> '' GROUP BY doc_id) n
+    ON w.doc_id = n.doc_id
+  JOIN (SELECT * FROM (VALUES {rows}) AS p(k, pw)) p
+    ON p.k = n.n_tok - 1 - w.pos
+) q GROUP BY doc_id
+"""
+
+
+def minhash_rerank_exact(docs: DataFrame, n: int = 3,
+                         est_threshold: float = 0.5) -> DataFrame:
+    """Dedup pipeline composition: MinHash-LSH candidates above an
+    estimate threshold → EXACT word-trigram Jaccard rerank (the
+    standard two-phase near-dup pipeline at corpus scale: cheap sketch
+    recall, exact precision on the shortlist)."""
+    cand = minhash_pairs(docs).filter(F.col("est_jaccard") >= est_threshold)
+    w = (docs.select("doc_id", F.posexplode(F.split("text", " "))
+                     .alias("pos", "tok"))
+         .filter(F.col("tok") != ""))
+    g = (w.alias("w1")
+         .join(w.alias("w2"), (F.col("w1.doc_id") == F.col("w2.doc_id"))
+               & (F.col("w2.pos") == F.col("w1.pos") + 1))
+         .join(w.alias("w3"), (F.col("w1.doc_id") == F.col("w3.doc_id"))
+               & (F.col("w3.pos") == F.col("w1.pos") + 2))
+         .select(F.col("w1.doc_id").alias("doc_id"),
+                 F.concat_ws(" ", "w1.tok", "w2.tok", "w3.tok").alias("gram"))
+         .distinct())
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (cand.join(g.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+             .join(g.alias("gb"), (F.col("doc_b") == F.col("gb.doc_id"))
+                   & (F.col("ga.gram") == F.col("gb.gram")))
+             .groupBy("doc_a", "doc_b", "est_jaccard")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b", "est_jaccard",
+                    (F.col("n_inter")
+                     / (F.col("sa.n_grams") + F.col("sb.n_grams")
+                        - F.col("n_inter"))).alias("exact_jaccard")))
+
+
+def minhash_rerank_exact_sql(est_threshold: float = 0.5) -> str:
+    return f"""
+WITH cand AS (
+  SELECT doc_a, doc_b, est_jaccard FROM {MINHASH_PAIRS_SQL} q
+  WHERE est_jaccard >= {est_threshold!r}e0
+),
+pos_words AS (
+  SELECT doc_id, pos - 1 AS pos, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) q WHERE tok <> ''
+),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT w1.doc_id AS doc_id,
+           concat(w1.tok, ' ', w2.tok, ' ', w3.tok) AS gram
+    FROM pos_words w1
+    JOIN pos_words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+    JOIN pos_words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2) qg
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, c.est_jaccard AS est_jaccard,
+         count(*) AS n_inter
+  FROM cand c
+  JOIN grams ga ON c.doc_a = ga.doc_id
+  JOIN grams gb ON c.doc_b = gb.doc_id AND ga.gram = gb.gram
+  GROUP BY c.doc_a, c.doc_b, c.est_jaccard)
+SELECT doc_a, doc_b, est_jaccard,
+       n_inter / (sa.n_grams + sb.n_grams - n_inter) AS exact_jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+"""
+
 
 def text_stats(docs: DataFrame) -> DataFrame:
     toks = F.filter(F.split("text", " "), lambda t: t != "")

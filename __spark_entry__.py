@@ -233,6 +233,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        F.max("h").alias("max_h")))
     q["pip_tile_agg"] = q_pip_tile
 
+    def q_tile_topk(spark, sf_dir):
+        _register(spark, sf_dir)
+        from geocoordinateconverter_spark.operators import tiles as tiles_op
+        pts = spark.sql(f"SELECT * FROM {_src_wgs('o_orderkey', 'orders')}")
+        return tiles_op.tile_topk_points(pts, key="k", res=5, k=3)
+    q["tile_topk_applyinpandas"] = q_tile_topk
+
     # ---- kNN join --------------------------------------------------------
     def q_knn(spark, sf_dir):
         _register(spark, sf_dir)
@@ -566,6 +573,17 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT p.k AS k, p.h AS h, m.mun_id AS mun_id "
         f"FROM {_pts_orders} p CROSS JOIN {pip_op.municipalities_values_sql()} m "
         f"WHERE {pip_op.pip_oracle_condition()}) q GROUP BY mun_id")
+
+    from geocoordinateconverter_spark import cells as _c
+    o["tile_topk_applyinpandas"] = f"""
+SELECT cell, k, h, rk FROM (
+  SELECT {_c.encode_sql('fi', 'la', 5)} AS cell, k, h,
+         cast(row_number() OVER (
+             PARTITION BY {_c.encode_sql('fi', 'la', 5)}
+             ORDER BY h DESC, k ASC) as int) AS rk
+  FROM {_src_wgs('o_orderkey', 'orders')}) q
+WHERE rk <= 3
+"""
 
     o["knn_join_stations"] = (
         f"SELECT k, station_id, dist2, rk "

@@ -86,6 +86,33 @@ def salted_tile_agg(points: DataFrame, key: str, fi: str = "fi",
     # hash of key, so per-salt distinct sets are disjoint → sum is exact).
 
 
+def tile_topk_points(points: DataFrame, key: str, fi: str = "fi",
+                     la: str = "la", value: str = "h", res: int = 5,
+                     k: int = 3) -> DataFrame:
+    """Per-tile top-k points by ``value`` via grouped-map
+    ``applyInPandas`` (SURVEY.md §3.6 "grouped-map applyInPandas for
+    per-tile ops").  Semantically a window top-k — implemented as the
+    grouped-map kernel to exercise the per-tile custom-operator path
+    (the slot where per-tile model fits / hull builds / resampling live
+    at scale); deterministic ties by key asc, so the SQL-window oracle
+    matches exactly."""
+    import pandas as pd
+
+    from ..kernels import cell_col
+
+    def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values([value, key], ascending=[False, True]).head(k)
+        out = out.copy()
+        out["rk"] = range(1, len(out) + 1)
+        return out[["cell", key, value, "rk"]]
+
+    schema = f"cell bigint, {key} bigint, {value} double, rk int"
+    return (points
+            .withColumn("cell", cell_col(F.col(fi), F.col(la), res))
+            .groupBy("cell")
+            .applyInPandas(_topk, schema))
+
+
 def salted_repartition(points: DataFrame, fi: str = "fi", la: str = "la",
                        res: int = 5, n_salt: int = 4) -> DataFrame:
     """Repartition by (coarse cell, salt) for skew-proof partitioned

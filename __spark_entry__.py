@@ -507,6 +507,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n")))
     q["cube_events"] = q_cube
 
+    def q_percentiles(spark, sf_dir):
+        # exact interpolated percentiles (distributed sort-based); both
+        # engines implement the same (n-1)·p linear interpolation —
+        # verified bit-identical, no rounding needed
+        _register(spark, sf_dir)
+        e = spark.table("events")
+        return (e.groupBy("event_type")
+                .agg(F.expr("percentile(value, 0.25)").alias("p25"),
+                     F.expr("percentile(value, 0.5)").alias("p50"),
+                     F.expr("percentile(value, 0.9)").alias("p90"),
+                     F.count("*").alias("n")))
+    q["exact_percentiles"] = q_percentiles
+
     def q_evwin(spark, sf_dir):
         _register(spark, sf_dir)
         return sw.windowed_event_agg(spark.table("events"))
@@ -769,6 +782,12 @@ GROUP BY user_id, session_id
     o["cube_events"] = """
 SELECT event_type, date_trunc('month', ts) AS mon, count(*) AS n
 FROM events GROUP BY CUBE (event_type, date_trunc('month', ts))
+"""
+    o["exact_percentiles"] = """
+SELECT event_type, quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90,
+       count(*) AS n
+FROM events GROUP BY event_type
 """
     o["events_window_agg"] = sw.WINDOWED_EVENT_AGG_SQL
 

@@ -52,3 +52,24 @@ def test_bucketed_join_no_shuffle(spark, warehouse):
     got = {r.c_mktsegment: r.n for r in j.collect()}
     exp = {r.c_mktsegment: r.n for r in plain.collect()}
     assert got == exp
+
+
+def test_partition_pruning_on_date(spark, tmp_path_factory):
+    """SURVEY.md §3.6: partition pruning on the ingest timestamp is
+    free via Catalyst once the corpus is written partitioned by date
+    (the warc_ts layout of the production Iceberg table)."""
+    out = str(tmp_path_factory.mktemp("part") / "events_by_day")
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    (events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+     .write.partitionBy("day").mode("overwrite").parquet(out))
+
+    df = spark.read.parquet(out)
+    # partition col is inferred as DATE on read-back
+    day0 = str(sorted(r.day for r in df.select("day").distinct().collect())[0])
+    one_day = df.filter(F.col("day") == day0).select("event_id", "value")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and day0 in plan
+    # pruned read touches only that partition's rows
+    n_expected = events.filter(
+        F.date_format("ts", "yyyy-MM-dd") == day0).count()
+    assert one_day.count() == n_expected

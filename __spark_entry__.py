@@ -207,6 +207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"SELECT url, fi, la FROM {wp.geoparse_dd_sql('webpages')} g")
     q["geoparse_decimal_degrees"] = q_geoparse_dd
 
+    def q_geoparse_multi(spark, sf_dir):
+        _register(spark, sf_dir)
+        spark.sql(f"SELECT * FROM {wp.multi_mention_pages_sql('documents')} w") \
+             .createOrReplaceTempView("multipages")
+        return wp.geoparse_multi_spark(spark, "multipages")
+    q["geoparse_multi_mention"] = q_geoparse_multi
+
     def q_geoparse_dms(spark, sf_dir):
         _register(spark, sf_dir)
         pages = spark.sql(f"SELECT * FROM {wp.webpages_sql('documents')} w")
@@ -570,6 +577,10 @@ def oracle_sql() -> dict[str, str]:
     _pages = f"{wp.webpages_sql('documents')} w"
     o["geoparse_decimal_degrees"] = (
         f"SELECT url, fi, la FROM {wp.geoparse_dd_sql(_pages)} g")
+
+    o["geoparse_multi_mention"] = (
+        f"SELECT url, mention_idx, fi, la FROM "
+        f"{wp.geoparse_multi_sql(wp.multi_mention_pages_sql('documents') + ' w')} g")
 
     o["geoparse_dms"] = (
         f"SELECT url, round(fi, 6) AS fi, round(la, 6) AS la "

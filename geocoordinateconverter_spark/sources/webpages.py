@@ -93,6 +93,76 @@ RE_GK = r"x=([0-9]+\.[0-9]+) y=([0-9]+\.[0-9]+) H=([0-9]+\.[0-9]+)"
 RE_DMS = r"([0-9]+)d([0-9]+)m([0-9]+\.[0-9])s ([0-9]+)d([0-9]+)m([0-9]+\.[0-9])s"
 
 
+def multi_mention_pages_sql(documents: str = "documents") -> str:
+    """Pages where docs gain a SECOND decimal-degree mention when
+    doc_id % 5 = 0 — exercises the array→explode parse path (a page can
+    contain several coordinates; SURVEY.md §2.2 'geoparsing stage').
+
+    Coordinates here use a 2^20-denominator mix (decimal-MESSY doubles):
+    Java's format_string rounds the SHORTEST DECIMAL REPR half-up while
+    C printf rounds the exact binary value, so a value whose shortest
+    repr has exactly 7 decimals ending in '5' (which a 10^6-denominator
+    mix produces for ~odd keys) formats differently across engines.
+    Binary-denominator values have ~17-significant-digit shortest reprs
+    whose 7th decimal always matches the exact expansion → identical
+    text on both sides for every key residue."""
+    def _pt(key: str) -> dict[str, str]:
+        u1 = (f"(cast((({key}) * 2654435761) % 1048576 as double) "
+              f"/ 1048576.0e0)")
+        u2 = (f"(cast((({key}) * 1597334677) % 1048576 as double) "
+              f"/ 1048576.0e0)")
+        return {"fi": f"(45.25e0 + 1.75e0 * {u1})",
+                "la": f"(13.25e0 + 3.5e0 * {u2})"}
+    w1 = _pt("doc_id")
+    w2 = _pt("(doc_id + 7777)")
+    m1 = (f"concat(' lat ', printf('%.6f', {w1['fi']}), "
+          f"'N lon ', printf('%.6f', {w1['la']}), 'E')")
+    m2 = (f"(case when doc_id % 5 = 0 then "
+          f"concat(' lat ', printf('%.6f', {w2['fi']}), "
+          f"'N lon ', printf('%.6f', {w2['la']}), 'E') else '' end)")
+    return f"""
+(SELECT concat('https://example.si/page/', cast(doc_id as string)) AS url,
+        doc_id, concat(text, {m1}, {m2}) AS page_text
+ FROM {documents})
+"""
+
+
+# one regex, ALL matches: Spark regexp_extract_all + posexplode;
+# DuckDB regexp_extract_all + unnest with ordinality
+RE_DD_ONE = r"lat ([0-9]+\.[0-9]+)N"
+RE_DD_LON = r"lon ([0-9]+\.[0-9]+)E"
+
+
+def geoparse_multi_spark(spark, pages_view: str):
+    """All decimal-degree mentions per page → one row each (url,
+    mention_idx, fi, la) — regexp_extract_all → arrays_zip → posexplode,
+    pure Catalyst."""
+    from pyspark.sql import functions as F
+    pages = spark.table(pages_view)
+    fis = F.expr(f"regexp_extract_all(page_text, '{RE_DD_ONE}', 1)")
+    las = F.expr(f"regexp_extract_all(page_text, '{RE_DD_LON}', 1)")
+    return (pages
+            .select("url", F.posexplode(F.arrays_zip(fis.alias("f"),
+                                                     las.alias("l")))
+                    .alias("mention_idx", "m"))
+            .select("url", "mention_idx",
+                    F.col("m.f").cast("double").alias("fi"),
+                    F.col("m.l").cast("double").alias("la")))
+
+
+def geoparse_multi_sql(src: str) -> str:
+    return f"""
+(SELECT url, cast(i - 1 as int) AS mention_idx,
+        cast(f as double) AS fi, cast(l as double) AS la
+ FROM (
+   SELECT url,
+          unnest(regexp_extract_all(page_text, '{RE_DD_ONE}', 1)) AS f,
+          unnest(regexp_extract_all(page_text, '{RE_DD_LON}', 1)) AS l,
+          generate_subscripts(regexp_extract_all(page_text, '{RE_DD_ONE}', 1), 1) AS i
+   FROM {src}) q)
+"""
+
+
 def geoparse_dd_sql(src: str) -> str:
     """Decimal-degree mentions → (url, fi, la); dialect-neutral via
     regexp_extract(text, pattern, group) which exists in both engines."""

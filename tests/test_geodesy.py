@@ -105,3 +105,22 @@ def test_determinism(pts):
     perm = np.random.default_rng(0).permutation(N)
     b = g.wgs84_to_gk(fi[perm], la[perm], h[perm])
     np.testing.assert_array_equal(b[0], a1[0][perm])
+
+
+def test_bbox_corners_and_extremes():
+    """Kernels stay finite and accurate at working-area corners,
+    negative heights, and the absolute-northing form."""
+    fi = np.array([BBOX_FI_MIN, BBOX_FI_MIN, BBOX_FI_MAX, BBOX_FI_MAX, 46.0])
+    la = np.array([BBOX_LA_MIN, BBOX_LA_MAX, BBOX_LA_MIN, BBOX_LA_MAX, 15.0])
+    h = np.array([-100.0, 0.0, 4000.0, -50.0, 0.0])
+    for chain in (g.wgs84_to_tm, g.wgs84_to_gk):
+        a, b, c = chain(fi, la, h)
+        assert np.isfinite(a).all() and np.isfinite(b).all() and np.isfinite(c).all()
+    x, y, hh = g.wgs84_to_gk(fi, la, h)
+    # absolute-northing inputs round-trip identically to reduced ones
+    f1, l1, h1 = g.gk_to_wgs84(x, y, hh)
+    f2, l2, h2 = g.gk_to_wgs84(x + 5.0e6, y, hh)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(l1, l2)
+    assert np.abs(f1 - fi).max() < MM_DEG
+    assert np.abs(h1 - h).max() < MM

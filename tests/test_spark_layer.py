@@ -105,14 +105,28 @@ def test_raycast_concave_polygon():
 
 
 def test_knn_methods_agree(spark, pts_df):
-    """cellring scale path ≡ broadcast exact path row-for-row."""
+    """kernel (zero-shuffle) ≡ cellring ≡ broadcast row-for-row, with
+    bit-identical dist2 (same IEEE op sequence in all three)."""
+    cols = ["k", "station_id", "dist2", "rk"]
     a = (knn_op.knn_join(pts_df, spark, key="k", k=3, method="broadcast")
-         .select("k", "station_id", "rk").toPandas()
+         .select(*cols).toPandas()
          .sort_values(["k", "rk"]).reset_index(drop=True))
     b = (knn_op.knn_join(pts_df, spark, key="k", k=3, method="cellring")
-         .select("k", "station_id", "rk").toPandas()
+         .select(*cols).toPandas()
+         .sort_values(["k", "rk"]).reset_index(drop=True))
+    c = (knn_op.knn_join(pts_df, spark, key="k", k=3, method="kernel")
+         .select(*cols).toPandas()
          .sort_values(["k", "rk"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)  # exact, incl. float64 dist2
+
+
+def test_knn_kernel_plan_has_no_exchange(spark, pts_df):
+    """the kernel path must be a pure map: no Exchange in the plan."""
+    df = knn_op.knn_join(pts_df, spark, key="k", k=3, method="kernel")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
 
 
 def test_knn_vs_numpy_bruteforce(spark, pts_df):

@@ -467,22 +467,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .withColumn("has_orders", F.lit(False))))
     q["semi_anti_join"] = q_semi
 
-    def q_cube(spark, sf_dir):
+    def q_rollup_orders(spark, sf_dir):
         _register(spark, sf_dir)
         o = spark.table("orders")
         return (o.rollup("o_orderstatus", "o_orderpriority")
                 .agg(F.count("*").alias("n"),
                      F.round(F.sum("o_totalprice"), 2).alias("total")))
-    q["rollup_orders"] = q_cube
+    q["rollup_orders"] = q_rollup_orders
 
     def q_range(spark, sf_dir):
+        # banded equi form (grid cell + residual filter) — never BNLJ,
+        # survives interval tables too big to broadcast
         _register(spark, sf_dir)
+        from geocoordinateconverter_spark.operators import rangejoin as rj
         e = spark.table("events")
         bands = spark.createDataFrame(
             [(i, 100.0 * i, 100.0 * (i + 1)) for i in range(10)],
             "band_id int, lo double, hi double")
-        return (e.join(F.broadcast(bands),
-                       (e.value >= bands.lo) & (e.value < bands.hi))
+        return (rj.banded_range_join(e, "value", bands, "lo", "hi", step=100.0)
                 .groupBy("band_id")
                 .agg(F.count("*").alias("n_events"),
                      F.round(F.sum("value"), 6).alias("sum_v")))
@@ -507,12 +509,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("value"), 6).alias("sum_value")))
     q["sessionize_events"] = q_sessionize
 
-    def q_cube(spark, sf_dir):
+    def q_cube_events(spark, sf_dir):
         _register(spark, sf_dir)
         e = spark.table("events")
         return (e.cube("event_type", F.date_trunc("month", "ts").alias("mon"))
                 .agg(F.count("*").alias("n")))
-    q["cube_events"] = q_cube
+    q["cube_events"] = q_cube_events
 
     def q_percentiles(spark, sf_dir):
         # exact interpolated percentiles (distributed sort-based); both

@@ -199,14 +199,29 @@ WHERE rk <= {k}
 
 def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
                     id_window: int = 50) -> DataFrame:
-    """Embedding-cosine near-dup pairs within a doc_id window."""
+    """Embedding-cosine near-dup pairs within a doc_id window.
+
+    The window predicate ``id_a < id_b <= id_a + W`` alone has no
+    equality key, which Spark plans as BroadcastNestedLoopJoin — O(n²)
+    once the table outgrows broadcast (VERDICT r1 #2).  Equi-fication:
+    block key ``floor(vec_id / W)``; a qualifying partner's block is
+    always the row's own block or the next one, so the left side
+    explodes to {blk, blk+1}, the join becomes a hash equi-join on
+    ``blk``, and the original window predicate remains as a residual
+    filter.  Same output rows; plan is SMJ/BHJ, never BNLJ — asserted
+    by tools/plan_audit.py's global invariant."""
     emb_n = emb.withColumn("n2", norm2_col("embedding"))
-    a = emb_n.select(F.col("vec_id").alias("id_a"),
-                     F.col("embedding").alias("ea"), F.col("n2").alias("na"))
+    blk = F.floor(F.col("vec_id") / F.lit(id_window))
+    a = emb_n.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("n2").alias("na"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"))
     b = emb_n.select(F.col("vec_id").alias("id_b"),
-                     F.col("embedding").alias("eb"), F.col("n2").alias("nb"))
-    pairs = (a.join(b, (F.col("id_a") < F.col("id_b"))
-                    & (F.col("id_b") <= F.col("id_a") + id_window))
+                     F.col("embedding").alias("eb"), F.col("n2").alias("nb"),
+                     blk.alias("blk"))
+    pairs = (a.join(b, "blk")
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.col("id_b") <= F.col("id_a") + id_window))
              .withColumn("cos", dot_col("ea", "eb")
                          / F.sqrt(F.col("na") * F.col("nb")))
              .filter(F.col("cos") >= threshold))

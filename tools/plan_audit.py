@@ -95,6 +95,28 @@ def main() -> None:
     # assertable invariant is the absence of any Python eval node
     checks.append(("minhash has no Python nodes", "EvalPython" not in mh))
 
+    # ---- global sweep: no BNLJ/Cartesian in ANY registered query ------
+    # Exceptions (intentional, documented):
+    #   ann_cosine_topk — the declared brute-force ANN baseline: tiny
+    #   broadcast query set vs streamed corpus; the scale path is
+    #   ann_lsh_topk (bucket equi-join), which IS swept.
+    BNLJ_OK = {"ann_cosine_topk"}
+    offenders = []
+    for qname, fn in em.queries().items():
+        if qname in BNLJ_OK:
+            continue
+        try:
+            qdf = fn(spark, SF)
+            p = qdf._jdf.queryExecution().sparkPlan().toString()
+        except Exception as exc:  # plan-build failure is itself a finding
+            offenders.append(f"{qname} (plan build failed: {exc})")
+            continue
+        if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+            offenders.append(qname)
+    checks.append((f"no BNLJ/Cartesian in any of {len(em.queries())} queries "
+                   f"(except declared baseline {sorted(BNLJ_OK)}); "
+                   f"offenders={offenders}", not offenders))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "", "## Invariant checks", ""]
     ok = True

@@ -116,6 +116,36 @@ def test_dot_udf_matches_unrolled(spark):
                                   via_udf["d"].to_numpy())
 
 
+def test_rolling_fingerprint_uncapped(spark):
+    """docs longer than r1's 512-token cap fingerprint correctly: the
+    square-and-multiply exponent has no length limit (VERDICT r1 #4).
+    Reference = pure-Python Horner evaluation of the same polynomial."""
+    import hashlib
+
+    from geocoordinateconverter_spark.operators import textdedup as td
+
+    def py_fp(tokens):
+        fp = 0
+        for t in tokens:
+            th = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % td.ROLL_P
+            fp = (fp * td.ROLL_B + th) % td.ROLL_P
+        return fp
+
+    docs = [(1, " ".join(f"w{i % 97}" for i in range(1000))),
+            (2, " ".join(f"w{i % 97}" for i in range(513))),
+            (3, "a b c"),
+            # differ only PAST token 512 — r1's cap made these collide
+            (4, " ".join(["x"] * 600)),
+            (5, " ".join(["x"] * 599 + ["y"]))]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: (r.rolling_fp, r.n_tok)
+           for r in td.rolling_fingerprint(df).collect()}
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        assert got[doc_id] == (py_fp(toks), len(toks)), doc_id
+    assert got[4][0] != got[5][0]  # tail-divergent docs must differ
+
+
 def test_multimodal_stub_and_features(spark, docs):
     feats = mm.extract_features(mm.html_binary(docs), "html", "raw").toPandas()
     assert len(feats) == docs.count()

@@ -403,10 +403,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_meta"] = q_mm_meta
 
     def q_mm_full(spark, sf_dir):
+        # full oracle since r2: byte_mean is an exact int-sum/count
+        # division (bit-identical across engines); entropy is rounded
+        # to 6 dp to absorb float summation-order differences.  The
+        # fixture text is pure ASCII (verified for all SFs), so the
+        # char-level DuckDB twin sees exactly the utf-8 bytes.
         _register(spark, sf_dir)
         docs = mm.html_binary(spark.table("documents"))
-        return mm.extract_features(docs, "html", "raw")
-    q["multimodal_features"] = q_mm_full  # rows-only (entropy not SQL-expressible)
+        feats = mm.extract_features(docs, "html", "raw")
+        return feats.select("doc_id", "n_bytes", "byte_mean",
+                            F.round("byte_entropy", 6).alias("byte_entropy"),
+                            "magic")
+    q["multimodal_features"] = q_mm_full
 
     # ================= relational layer (SURVEY.md §3.6 gap table) ========
     def q_pricing(spark, sf_dir):
@@ -714,7 +722,29 @@ GROUP BY lang
         "lower(substr(hex(html), 1, 8)) AS magic FROM ("
         "SELECT doc_id, encode(concat('<html><body>', text, '</body></html>')) "
         "AS html FROM documents) q")
-    # multimodal_features: rows-only (entropy kernel not SQL-expressible)
+    # multimodal_features full oracle: per-char histogram (ASCII fixture
+    # → chars ≡ bytes), Shannon entropy from counts, exact mean division
+    o["multimodal_features"] = """
+WITH h AS (
+  SELECT doc_id, concat('<html><body>', text, '</body></html>') AS s
+  FROM documents),
+k AS (
+  SELECT doc_id, ch, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(s, '')) AS ch FROM h) q
+  GROUP BY doc_id, ch),
+t AS (SELECT doc_id, sum(c) AS n FROM k GROUP BY doc_id),
+q AS (
+  SELECT k.doc_id AS doc_id,
+         cast(max(t.n) as bigint) AS n_bytes,
+         cast(sum(ascii(k.ch) * k.c) as double)
+           / cast(max(t.n) as double) AS byte_mean,
+         round(-sum((k.c / cast(t.n as double))
+                    * log2(k.c / cast(t.n as double))), 6) AS byte_entropy
+  FROM k JOIN t ON k.doc_id = t.doc_id GROUP BY k.doc_id)
+SELECT q.doc_id AS doc_id, q.n_bytes, q.byte_mean, q.byte_entropy,
+       lower(substr(hex(encode(substr(h.s, 1, 4))), 1, 8)) AS magic
+FROM q JOIN h ON q.doc_id = h.doc_id
+"""
 
     # ---- wave 2: relational layer --------------------------------------
     o["tpch_q1_pricing"] = """

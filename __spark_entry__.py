@@ -223,6 +223,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"FROM {wp.geoparse_dms_sql('webpages')} g")
     q["geoparse_dms"] = q_geoparse_dms
 
+    # ---- widened parser surface (util.c F4/F1, r2): comma decimals,
+    # symbol DMS, optional height default, -r swapped pairs ----------------
+    def _locale_pages(spark, sf_dir):
+        _register(spark, sf_dir)
+        spark.sql(f"SELECT * FROM {wp.locale_pages_sql('documents')} w") \
+             .createOrReplaceTempView("localepages")
+        return "localepages"
+
+    def q_geoparse_comma(spark, sf_dir):
+        v = _locale_pages(spark, sf_dir)
+        return spark.sql(f"SELECT url, fi, la FROM {wp.geoparse_comma_sql(v)} g")
+    q["geoparse_comma_decimal"] = q_geoparse_comma
+
+    def q_geoparse_sym(spark, sf_dir):
+        v = _locale_pages(spark, sf_dir)
+        return spark.sql(
+            f"SELECT url, round(fi, 6) AS fi, round(la, 6) AS la "
+            f"FROM {wp.geoparse_symbol_dms_sql(v)} g")
+    q["geoparse_symbol_dms"] = q_geoparse_sym
+
+    def q_geoparse_height(spark, sf_dir):
+        v = _locale_pages(spark, sf_dir)
+        return spark.sql(
+            f"SELECT url, fi, la, h, has_h "
+            f"FROM {wp.geoparse_height_default_sql(v)} g")
+    q["geoparse_height_default"] = q_geoparse_height
+
+    def q_geoparse_swapped(spark, sf_dir):
+        v = _locale_pages(spark, sf_dir)
+        return spark.sql(
+            f"SELECT url, fi, la, kind FROM {wp.geoparse_swapped_sql(v)} g")
+    q["geoparse_swapped_pair"] = q_geoparse_swapped
+
     # ---- PIP join (broadcast cover-cell + ray-cast refine) ---------------
     def q_pip(spark, sf_dir):
         _register(spark, sf_dir)
@@ -595,6 +628,18 @@ def oracle_sql() -> dict[str, str]:
     o["geoparse_dms"] = (
         f"SELECT url, round(fi, 6) AS fi, round(la, 6) AS la "
         f"FROM {wp.geoparse_dms_sql(_pages)} g")
+
+    _lpages = f"{wp.locale_pages_sql('documents')} w"
+    o["geoparse_comma_decimal"] = (
+        f"SELECT url, fi, la FROM {wp.geoparse_comma_sql(_lpages)} g")
+    o["geoparse_symbol_dms"] = (
+        f"SELECT url, round(fi, 6) AS fi, round(la, 6) AS la "
+        f"FROM {wp.geoparse_symbol_dms_sql(_lpages)} g")
+    o["geoparse_height_default"] = (
+        f"SELECT url, fi, la, h, has_h "
+        f"FROM {wp.geoparse_height_default_sql(_lpages)} g")
+    o["geoparse_swapped_pair"] = (
+        f"SELECT url, fi, la, kind FROM {wp.geoparse_swapped_sql(_lpages)} g")
 
     _pts_orders = f"(SELECT * FROM {_src_wgs('o_orderkey', 'orders')})"
     o["pip_join_municipalities"] = (

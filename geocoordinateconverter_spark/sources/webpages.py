@@ -225,6 +225,126 @@ def classify_pair_sql(src: str, c1: str = "c1", c2: str = "c2") -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# Wider parser surface (util.c F4/F1 — SURVEY.md §3.5): locale comma
+# decimals, °'" symbol DMS, optional height with default-0, and the
+# reference's -r swapped-order pairs.  One dialect-neutral fixture
+# (locale_pages_sql) + four parsers; every expression runs verbatim in
+# Spark SQL and DuckDB.
+# ---------------------------------------------------------------------------
+
+RE_DD_COMMA = r"lat ([0-9]+,[0-9]+) lon ([0-9]+,[0-9]+)"
+# regex with literal degree/quote symbols; ' doubled when embedded in a
+# SQL string literal (both engines treat ° " ' as plain literals)
+RE_SYM_DMS = ("([0-9]+)°([0-9]+)''([0-9]+\\.[0-9])\" "
+              "([0-9]+)°([0-9]+)''([0-9]+\\.[0-9])\"")
+RE_ALT = r"alt ([0-9]+\.[0-9])m"
+RE_POS_PAIR = r"pos ([0-9]+\.[0-9]+) ([0-9]+\.[0-9]+)"
+
+
+def locale_pages_sql(documents: str = "documents") -> str:
+    """Pages whose mentions exercise the widened surface, by doc_id%4:
+    0 → comma-decimal DD; 1 → symbol DMS (``46°2'55.0"``); 2 → DD with
+    height suffix when doc_id%8==2, WITHOUT it when %8==6 (drives the
+    missing-height→0 default); 3 → swapped bare pair (lon first, the
+    ``-r`` case detected by magnitude).
+
+    Coordinates use the 2^20 binary-denominator mix and the height an
+    exact-1-decimal integer mix — the printf-midpoint-safe forms (Java
+    HALF_UP on shortest repr vs C exact-expansion rounding; see
+    multi_mention_pages_sql's docstring for the full argument)."""
+    u1 = "(cast(((doc_id) * 2654435761) % 1048576 as double) / 1048576.0e0)"
+    u2 = "(cast(((doc_id) * 1597334677) % 1048576 as double) / 1048576.0e0)"
+    w = {"fi": f"(45.25e0 + 1.75e0 * {u1})",
+         "la": f"(13.25e0 + 3.5e0 * {u2})",
+         # exactly one decimal digit -> %.1f never rounds
+         "h": "(cast(2000 + ((doc_id) * 40503) % 18000 as double) / 10.0e0)"}
+    comma = (f"concat(' lat ', replace(printf('%.6f', {w['fi']}), '.', ','), "
+             f"' lon ', replace(printf('%.6f', {w['la']}), '.', ','))")
+    idiv = lambda a, b: f"cast(floor(({a}) / {b}.0e0) as bigint)"  # noqa: E731
+
+    def _sym(v: str) -> str:
+        tot = f"cast(floor(({v}) * 36000.0e0) as bigint)"
+        return (f"cast({idiv(tot, 36000)} as string), '°', "
+                f"cast({idiv(f'({tot}) % 36000', 600)} as string), '''', "
+                f"printf('%.1f', cast(({tot}) % 600 as double) / 10.0e0), '\"'")
+
+    sym = f"concat(' ', {_sym(w['fi'])}, ' ', {_sym(w['la'])})"
+    dd_h = (f"concat(' lat ', printf('%.6f', {w['fi']}), "
+            f"'N lon ', printf('%.6f', {w['la']}), 'E', "
+            f"case when doc_id % 8 = 2 then "
+            f"concat(' alt ', printf('%.1f', {w['h']}), 'm') else '' end)")
+    swapped = (f"concat(' pos ', printf('%.6f', {w['la']}), ' ', "
+               f"printf('%.6f', {w['fi']}))")
+    mention = (f"(case when doc_id % 4 = 0 then {comma} "
+               f"when doc_id % 4 = 1 then {sym} "
+               f"when doc_id % 4 = 2 then {dd_h} else {swapped} end)")
+    return f"""
+(SELECT concat('https://example.si/page/', cast(doc_id as string)) AS url,
+        doc_id, concat(text, {mention}) AS page_text
+ FROM {documents})
+"""
+
+
+def geoparse_comma_sql(src: str) -> str:
+    """util.c F4: locale comma-decimal numerics — replace then cast."""
+    # nullif keeps the cast ANSI-safe on non-matching rows (Spark 4
+    # evaluates projections eagerly enough that the WHERE guard alone
+    # does not protect the cast)
+    g = lambda i: (f"cast(nullif(replace(regexp_extract(page_text, "
+                   f"'{RE_DD_COMMA}', {i}), ',', '.'), '') as double)")  # noqa: E731
+    return f"""
+(SELECT url, {g(1)} AS fi, {g(2)} AS la
+ FROM {src}
+ WHERE regexp_extract(page_text, '{RE_DD_COMMA}', 1) <> '')
+"""
+
+
+def geoparse_symbol_dms_sql(src: str) -> str:
+    """util.c F1: DMS with °'\" symbols → decimal degrees."""
+    g = lambda i: (f"cast(nullif(regexp_extract(page_text, "
+                   f"'{RE_SYM_DMS}', {i}), '') as double)")  # noqa: E731
+    return f"""
+(SELECT url,
+        {g(1)} + {g(2)} / 60.0e0 + {g(3)} / 3600.0e0 AS fi,
+        {g(4)} + {g(5)} / 60.0e0 + {g(6)} / 3600.0e0 AS la
+ FROM {src}
+ WHERE regexp_extract(page_text, '{RE_SYM_DMS}', 1) <> '')
+"""
+
+
+def geoparse_height_default_sql(src: str) -> str:
+    """Optional third coordinate: absent height defaults to 0
+    (gk-slo.c line parse — SURVEY.md §2.1 'missing height defaults
+    to 0'); emits has_h so the default path is visible/checkable."""
+    return f"""
+(SELECT url,
+        cast(nullif(regexp_extract(page_text, '{RE_DD}', 1), '') as double) AS fi,
+        cast(nullif(regexp_extract(page_text, '{RE_DD}', 2), '') as double) AS la,
+        coalesce(cast(nullif(regexp_extract(page_text, '{RE_ALT}', 1), '')
+                      as double), 0.0e0) AS h,
+        (regexp_extract(page_text, '{RE_ALT}', 1) <> '') AS has_h
+ FROM {src}
+ WHERE regexp_extract(page_text, '{RE_DD}', 1) <> '')
+"""
+
+
+def geoparse_swapped_sql(src: str) -> str:
+    """Bare unlabeled pair in lon-lat order (the reference's ``-r``):
+    parsed, then normalized to (fi, la) by the same magnitude bands the
+    pair classifier uses — a (λ, φ) pair is detected and swapped."""
+    c1 = (f"cast(nullif(regexp_extract(page_text, '{RE_POS_PAIR}', 1), '') "
+          f"as double)")
+    c2 = (f"cast(nullif(regexp_extract(page_text, '{RE_POS_PAIR}', 2), '') "
+          f"as double)")
+    pairs = (f"(SELECT url, {c1} AS c1, {c2} AS c2 FROM {src} "
+             f"WHERE regexp_extract(page_text, '{RE_POS_PAIR}', 1) <> '') q_p")
+    return f"""
+(SELECT url, a1 AS fi, a2 AS la, kind
+ FROM {classify_pair_sql(pairs, 'c1', 'c2')} q WHERE kind = 'geo')
+"""
+
+
 def geoparse_dms_sql(src: str) -> str:
     """DMS mentions → decimal degrees (util.c DMS parse — SURVEY.md
     §3.5 F1), as pure arithmetic on the extracted groups."""

@@ -144,33 +144,44 @@ def minhash_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     bucket; score = fraction of equal signature components (MinHash
     Jaccard estimate).
 
-    The signature table is persisted: it feeds the band build AND both
-    sides of the estimate join — without caching Spark recomputes the
-    tokenize→hash→min lineage three times (measured 3× wall on the
-    bench).  At cluster scale persist to MEMORY_AND_DISK; signatures
-    are k·n_docs rows of 3 numbers — tiny next to the corpus."""
-    sig = minhash_signatures(docs).persist()
-    bands = minhash_bands(docs, sig)
+    FOLDED form (r2; VERDICT r1 #9): the per-doc signature vector is
+    aggregated ONCE into a perm-ordered array, band keys are derived
+    from array slices in codegen, and the Jaccard estimate is a
+    zip_with/filter/size expression over the two arrays carried by the
+    band self-join — the r1 plan re-joined the k×-inflated signature
+    table twice (one shuffle each) plus a groupBy(pair) shuffle; all
+    three are gone.  The banded self-equi-join plus the degenerate-
+    bucket cap still bound the candidate count (the LSH sub-quadratic
+    guarantee).  The capped band table is persisted because the
+    self-join reads it twice."""
+    sig = minhash_signatures(docs)
+    sig_arr = sig.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("perm", "sig"))).alias("ps"))
+    band_ix = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
+    # band_key formatting is EXACTLY minhash_bands' ("%02d:%d" join ","):
+    # the two code paths and the SQL oracle stay hash-comparable
+    slice_fmt = F.transform(
+        F.slice("ps", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+        lambda x: F.format_string("%02d:%d", x["perm"], x["sig"]))
+    bands = (sig_arr.select("doc_id", "ps", band_ix)
+             .withColumn("band_key", F.md5(F.array_join(slice_fmt, ","))))
     wb = Window.partitionBy("band", "band_key")
     bands = (bands.withColumn("bsize", F.count("*").over(wb))
-             .filter(F.col("bsize") <= max_bucket).drop("bsize"))
-    pairs = (bands.alias("a")
-             .join(bands.alias("b"),
-                   (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
-    est = (pairs
-           .join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-           .join(sig.alias("sb"),
-                 (F.col("doc_b") == F.col("sb.doc_id"))
-                 & (F.col("sa.perm") == F.col("sb.perm")))
-           .groupBy("doc_a", "doc_b")
-           .agg((F.sum(F.when(F.col("sa.sig") == F.col("sb.sig"), 1)
-                       .otherwise(0)) / F.lit(float(K_MINHASH))).alias("est_jaccard")))
-    return est
+             .filter(F.col("bsize") <= max_bucket).drop("bsize")
+             .persist())
+    eq = F.size(F.filter(
+        F.zip_with(F.col("a.ps"), F.col("b.ps"),
+                   lambda x, y: x["sig"] == y["sig"]),
+        lambda v: v))
+    return (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.band_key") == F.col("b.band_key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    (eq / F.lit(float(K_MINHASH))).alias("est_jaccard"))
+            .distinct())
 
 
 _BANDS_CAPPED_SQL = f"""

@@ -92,6 +92,22 @@ def _geom_src() -> str:
 
 GEOM_SRC = _geom_src()
 
+
+# Vertex table for the REAL shapefile path (S5/S6): pentagon per
+# supplier, raw double coordinates (no printf), 5-way UNION ALL keeps it
+# dialect-neutral.
+def _shp_vert_src() -> str:
+    sels = []
+    for j in range(5):
+        p = sg.tm_points_sql(f"(geom_id * 8 + {j})")
+        sels.append(
+            f"SELECT geom_id, {j} AS vid, {p['x']} AS x, {p['y']} AS y, "
+            f"0.0e0 AS h FROM (SELECT s_suppkey AS geom_id FROM supplier) q_g")
+    return "(" + " UNION ALL ".join(sels) + ") q_v"
+
+
+SHP_VERT_SRC = _shp_vert_src()
+
 # DMS presentation formatting (util.c F2): D/M/S via integer math on
 # 0.1″-scaled total seconds + printf — dialect-neutral, pure codegen.
 _TOT = "cast(floor(fi * 36000.0e0) as bigint)"
@@ -390,6 +406,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src = spark.sql(f"SELECT * FROM {GEOM_SRC} g")
         return geom.convert_geometry(src, t=5)
     q["geometry_wkt_convert"] = q_geom
+
+    # ---- S5/S6: REAL shapefile I/O (binary .shp/.shx/.dbf roundtrip,
+    # then per-vertex t5 conversion — the full gk-shp lifecycle) -----------
+    def q_shp_roundtrip(spark, sf_dir):
+        import tempfile
+
+        from geocoordinateconverter_spark.sources import shapefile as shp
+        _register(spark, sf_dir)
+        src = spark.sql(f"SELECT * FROM {SHP_VERT_SRC}")
+        base = tempfile.mkdtemp(prefix="shp_roundtrip_") + "/geoms"
+        shp.df_to_shapefile(
+            src.select("geom_id", F.lit(0).alias("part"), "vid", "x", "y"),
+            base, shp.SHP_POLYGON)
+        verts = shp.shapefile_to_df(spark, base)  # bit-exact roundtrip
+        udf = kernels.transform_udf(5)
+        conv = verts.withColumn("o", udf(F.col("x"), F.col("y"), F.lit(0.0)))
+        return conv.select("geom_id", "vid",
+                           F.round("o.x", 2).alias("x_out"),
+                           F.round("o.y", 2).alias("y_out"))
+    q["shapefile_roundtrip_convert"] = q_shp_roundtrip
 
     # ================= training-data pipeline operators ===================
     def _docs(spark, sf_dir):
@@ -745,6 +781,10 @@ GROUP BY lang
     o["coord_pair_classify"] = (
         f"SELECT k, kind, a1, a2 "
         f"FROM {wp.classify_pair_sql(PAIR_SRC, 'c1', 'c2')} q")
+
+    o["shapefile_roundtrip_convert"] = (
+        f"SELECT geom_id, vid, round(x, 2) AS x_out, round(y, 2) AS y_out "
+        f"FROM ({sg.t5_sql(SHP_VERT_SRC, 'geom_id, vid')}) q")
 
     # ---- wave 2: training-data ops -------------------------------------
     o["dedup_exact"] = td.EXACT_DEDUP_SQL

@@ -108,6 +108,12 @@ def _shp_vert_src() -> str:
 
 SHP_VERT_SRC = _shp_vert_src()
 
+# host-varied URL table for the per-host grouping primitive (the
+# webpages fixture keeps one host; CC pipelines cap/dedup per host)
+HOST_SRC = ("(SELECT concat('https://w', cast(doc_id % 53 as string), "
+            "'.example.si/p/', cast(doc_id as string)) AS url, doc_id, "
+            "text AS page_text FROM documents) q_h")
+
 # DMS presentation formatting (util.c F2): D/M/S via integer math on
 # 0.1″-scaled total seconds + printf — dialect-neutral, pure codegen.
 _TOT = "cast(floor(fi * 36000.0e0) as bigint)"
@@ -431,6 +437,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _docs(spark, sf_dir):
         _register(spark, sf_dir)
         return spark.table("documents")
+
+    def q_host(spark, sf_dir):
+        _register(spark, sf_dir)
+        return td.url_host_stats(spark.sql(f"SELECT * FROM {HOST_SRC}"))
+    q["url_host_stats"] = q_host
+    q["c4_quality_filter"] = lambda s, d: td.c4_quality_filter(_docs(s, d))
+    q["repetition_ratio"] = lambda s, d: td.repetition_ratio(_docs(s, d))
 
     q["dedup_exact"] = lambda s, d: td.exact_dedup(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: td.minhash_signatures(_docs(s, d))
@@ -787,6 +800,9 @@ GROUP BY lang
         f"FROM ({sg.t5_sql(SHP_VERT_SRC, 'geom_id, vid')}) q")
 
     # ---- wave 2: training-data ops -------------------------------------
+    o["url_host_stats"] = td.url_host_stats_sql(HOST_SRC)
+    o["c4_quality_filter"] = td.c4_quality_filter_sql()
+    o["repetition_ratio"] = td.repetition_ratio_sql()
     o["dedup_exact"] = td.EXACT_DEDUP_SQL
     o["minhash_signatures"] = f"SELECT doc_id, perm, sig FROM {td.MINHASH_SIG_SQL} q"
     o["minhash_lsh_pairs"] = (

@@ -563,3 +563,131 @@ FROM (SELECT doc_id, lang, {', '.join('score_' + c for c in langs)},
       FROM (SELECT doc_id, lang, text, {', '.join(score_cols)}
             FROM documents) q1) q2
 """
+
+
+# ---------------------------------------------------------------------------
+# r2 additions: URL-host stats, C4-style quality filter, n-gram
+# repetition ratio — the remaining standard Common-Crawl curation ops
+# (host-level dedup/grouping, heuristic quality gating, boilerplate
+# detection).  All pure codegen; one hash shuffle each at most.
+# ---------------------------------------------------------------------------
+
+RE_HOST = "^https?://([^/]+)/"
+
+# C4-style heuristic gate (public rule family: Raffel et al. 2020):
+# minimum word count, sane mean word length, and a stopword signal.
+C4_MIN_TOKENS = 5
+C4_MIN_AVG_WLEN = 2.0
+C4_MAX_AVG_WLEN = 12.0
+
+
+def url_host_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Docs per host + mean text length — the host-grouping primitive
+    under per-host caps/dedup in CC pipelines.  One hash shuffle on the
+    extracted host."""
+    host = F.regexp_extract(F.col(url_col), RE_HOST, 1)
+    return (pages.withColumn("host", host)
+            .groupBy("host")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.round(F.avg(F.length("page_text")), 6).alias("avg_len")))
+
+
+def url_host_stats_sql(src: str) -> str:
+    return f"""
+SELECT host, count(*) AS n_docs, min(doc_id) AS first_doc,
+       round(avg(length(page_text)), 6) AS avg_len
+FROM (SELECT regexp_extract(url, '{RE_HOST}', 1) AS host, doc_id, page_text
+      FROM {src}) q
+GROUP BY host
+"""
+
+
+def c4_quality_filter(docs: DataFrame) -> DataFrame:
+    """Per-doc boolean rule flags + the combined keep decision.
+    Flags stay visible (not just the filtered table) so downstream
+    audits can count what each rule dropped — the no-silent-caps rule
+    applied to quality gating."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    avg_wlen = (F.length(F.regexp_replace("text", " ", ""))
+                / n_tok.cast("double"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    has_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
+    f_len = n_tok >= C4_MIN_TOKENS
+    f_wlen = (avg_wlen >= C4_MIN_AVG_WLEN) & (avg_wlen <= C4_MAX_AVG_WLEN)
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"),
+        F.round(avg_wlen, 9).alias("avg_word_len"),
+        f_len.alias("pass_min_tokens"),
+        f_wlen.alias("pass_word_len"),
+        has_stop.alias("pass_stopword"),
+        (f_len & f_wlen & has_stop).alias("keep"))
+
+
+def c4_quality_filter_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+SELECT doc_id, n_tokens, round(avg_word_len, 9) AS avg_word_len,
+       pass_min_tokens, pass_word_len, pass_stopword,
+       (pass_min_tokens AND pass_word_len AND pass_stopword) AS keep
+FROM (
+  SELECT doc_id, n_tokens, avg_word_len,
+         n_tokens >= {C4_MIN_TOKENS} AS pass_min_tokens,
+         (avg_word_len >= {C4_MIN_AVG_WLEN!r}e0
+          AND avg_word_len <= {C4_MAX_AVG_WLEN!r}e0) AS pass_word_len,
+         n_stop > 0 AS pass_stopword
+  FROM (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           length(replace(text, ' ', ''))
+             / cast(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                    as double) AS avg_word_len,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ({stop_list}))) AS n_stop
+    FROM documents) q1) q2
+"""
+
+
+def repetition_ratio(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Fraction of a doc's word-trigram occurrences taken by its single
+    most frequent trigram — the standard boilerplate/spam repetition
+    signal.  Trigram build is the shared posexplode+self-join shape;
+    two hash aggregations."""
+    w = (docs.select("doc_id", F.posexplode(F.split("text", " "))
+                     .alias("pos", "tok"))
+         .filter(F.col("tok") != ""))
+    g = (w.alias("w1")
+         .join(w.alias("w2"), (F.col("w1.doc_id") == F.col("w2.doc_id"))
+               & (F.col("w2.pos") == F.col("w1.pos") + 1))
+         .join(w.alias("w3"), (F.col("w1.doc_id") == F.col("w3.doc_id"))
+               & (F.col("w3.pos") == F.col("w1.pos") + 2))
+         .select(F.col("w1.doc_id").alias("doc_id"),
+                 F.concat_ws(" ", "w1.tok", "w2.tok", "w3.tok").alias("gram")))
+    per_gram = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (per_gram.groupBy("doc_id")
+            .agg(F.max("c").alias("top_gram_count"),
+                 F.sum("c").alias("n_grams"),
+                 (F.max("c") / F.sum("c").cast("double"))
+                 .alias("repetition_ratio")))
+
+
+def repetition_ratio_sql() -> str:
+    return """
+WITH pos_words AS (
+  SELECT doc_id, pos - 1 AS pos, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) q WHERE tok <> '')
+SELECT doc_id, max(c) AS top_gram_count, cast(sum(c) as bigint) AS n_grams,
+       max(c) / cast(sum(c) as double) AS repetition_ratio
+FROM (
+  SELECT doc_id, gram, count(*) AS c FROM (
+    SELECT w1.doc_id AS doc_id,
+           concat(w1.tok, ' ', w2.tok, ' ', w3.tok) AS gram
+    FROM pos_words w1
+    JOIN pos_words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+    JOIN pos_words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2) qg
+  GROUP BY doc_id, gram) qc
+GROUP BY doc_id
+"""

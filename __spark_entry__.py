@@ -370,6 +370,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("big_h"))
     q["height_mode_hg"] = q_height_hg
 
+    # ---- A6: explicit height-mode override (-hg on the Helmert chain;
+    # default for t3 is -ht — HEIGHT_MODE_DEFAULTS is the A6 table) --------
+    def q_height_override(spark, sf_dir):
+        _register(spark, sf_dir)
+        src = spark.sql(f"SELECT * FROM {SRC_GK_LINEITEM} WHERE k % 23 = 0")
+        udf = kernels.transform_with_height_udf(3, height_mode="hg")
+        df = src.withColumn("o", udf(F.col("x"), F.col("y"), F.col("h")))
+        return df.select("k", F.round("o.fi", 8).alias("fi_out"),
+                         F.round("o.la", 8).alias("la_out"),
+                         F.round("o.h", 2).alias("h_out"))
+    q["height_mode_override_t3_hg"] = q_height_override
+
     # ---- DMS formatting (util.c F2) — pure codegen arithmetic ------------
     def q_dms_format(spark, sf_dir):
         _register(spark, sf_dir)
@@ -771,6 +783,14 @@ WHERE rk <= 3
         f"SELECT q1.k AS k, q1.h AS h, q2.geoid_n AS geoid_n "
         f"FROM {_pts_orders} q1 "
         f"JOIN {sg.geoid_sql(_pts_orders, 'k', 'slo')} q2 ON q1.k = q2.k) q3")
+
+    _t3o23 = (f"({sg.t3_sql(f'(SELECT * FROM {SRC_GK_LINEITEM} WHERE k % 23 = 0) q_f', 'k')})")
+    # keep-list threading (no join: k is NOT unique over lineitem
+    # samples, a join would fan out duplicate keys)
+    o["height_mode_override_t3_hg"] = (
+        f"SELECT k, round(fi, 8) AS fi_out, round(la, 8) AS la_out, "
+        f"round(h + geoid_n, 2) AS h_out "
+        f"FROM {sg.geoid_sql(_t3o23, 'k, fi, la, h', 'slo')} q")
 
     o["dms_format"] = (
         f"SELECT k, {DMS_FMT_SQL} AS dms FROM {SRC_WGS_ORDERS} WHERE k % 17 = 0")

@@ -42,6 +42,17 @@ _CHAINS = {
 # projected chains return (x, y, h) — mirroring GEOGRA/GEOUTM
 # (common.h struct decls, SURVEY.md §2.1).
 _GEOGRAPHIC_OUT = {1, 3, 7}
+_GEOGRAPHIC_IN = {2, 4, 8}
+
+# SURVEY.md §3.4 A6: per-chain default height mode (-ht transformed /
+# -hc copied / -hg geoid-derived).  [UNVERIFIED against the README's
+# exact defaults table — /root/reference is an empty mount (SURVEY §0);
+# values mirror the public usage docs and each chain's semantics:
+# same-datum projections carry the geoid-corrected height, Helmert
+# chains the transformed height, AFT chains copy.]  The table is the
+# single source of truth for transform_with_height_udf.
+HEIGHT_MODE_DEFAULTS = {1: "hg", 2: "hg", 3: "ht", 4: "ht", 5: "ht",
+                        6: "ht", 7: "hc", 8: "hc", 9: "hc", 10: "hc"}
 
 
 def transform_udf(t: int):
@@ -64,6 +75,54 @@ def transform_udf(t: int):
         return pd.DataFrame({names[0]: o1, names[1]: o2, names[2]: o3})
 
     _udf.__name__ = f"t{t}_{fn.__name__}"
+    return _udf
+
+
+def transform_with_height_udf(t: int, height_mode: str | None = None,
+                              geoid_model: str = "slo"):
+    """Chain ``t`` with an explicit -ht/-hc/-hg height-mode selector
+    (gk-slo CLI options; defaults from :data:`HEIGHT_MODE_DEFAULTS`).
+
+    * ``ht`` — the chain's transformed height (Helmert path carries it
+      through ECEF; projection-only chains pass it unchanged).
+    * ``hc`` — copy the input height verbatim.
+    * ``hg`` — geoid-derived: chains ENDING geographic add N(φ,λ) at
+      the output point (physical H → ellipsoidal h); chains STARTING
+      geographic subtract N(φ,λ) at the input point (h → H).
+      Projected↔projected chains (5/6/9/10) would need the WGS84
+      intermediate — not exposed at this wrapper; selecting hg for
+      them raises (their reference defaults are ht/hc anyway).
+
+    Still ONE Arrow crossing: the geoid lookup is NumPy inside the
+    same UDF."""
+    mode = height_mode or HEIGHT_MODE_DEFAULTS[t]
+    if mode not in ("ht", "hc", "hg"):
+        raise ValueError(f"height_mode {mode!r}")
+    if mode == "hg" and t not in (_GEOGRAPHIC_OUT | _GEOGRAPHIC_IN):
+        raise ValueError(
+            f"height_mode='hg' needs a geographic endpoint; chain t={t} "
+            f"is projected↔projected (default: {HEIGHT_MODE_DEFAULTS[t]!r})")
+    fn = _CHAINS[t]
+    names = ("fi", "la", "h") if t in _GEOGRAPHIC_OUT else ("x", "y", "h")
+    schema = ", ".join(f"{n} double" for n in names)
+
+    @pandas_udf(schema)
+    def _udf(c1: pd.Series, c2: pd.Series, c3: pd.Series) -> pd.DataFrame:
+        a1 = c1.to_numpy(dtype="float64", copy=False)
+        a2 = c2.to_numpy(dtype="float64", copy=False)
+        a3 = c3.to_numpy(dtype="float64", copy=False)
+        o1, o2, o3 = fn(a1, a2, a3)
+        if mode == "hc":
+            h = a3
+        elif mode == "ht":
+            h = o3
+        elif t in _GEOGRAPHIC_OUT:
+            h = o3 + _geoid.geoid_height(o1, o2, geoid_model)
+        else:  # geographic input
+            h = o3 - _geoid.geoid_height(a1, a2, geoid_model)
+        return pd.DataFrame({names[0]: o1, names[1]: o2, names[2]: h})
+
+    _udf.__name__ = f"t{t}_{fn.__name__}_{mode}"
     return _udf
 
 

@@ -483,6 +483,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.lsh_topk(spark.table("embeddings"), k=5)
     q["ann_lsh_topk"] = q_lsh_topk
 
+    def q_ivf_topk(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.ivf_topk(spark.table("embeddings"), k=5)
+    q["ann_ivf_topk"] = q_ivf_topk
+
+    def q_ivf_sizes(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.ivf_cluster_sizes(spark.table("embeddings"))
+    q["ann_ivf_cluster_sizes"] = q_ivf_sizes
+
     def q_cnd(spark, sf_dir):
         _register(spark, sf_dir)
         return sim.cosine_near_dup(spark.table("embeddings"),
@@ -837,6 +847,8 @@ GROUP BY lang
     o["ann_cosine_topk"] = sim.brute_force_topk_sql(k=5)
     o["ann_lsh_buckets"] = sim.lsh_buckets_sql()
     o["ann_lsh_topk"] = sim.lsh_topk_sql(k=5)
+    o["ann_ivf_topk"] = sim.ivf_topk_sql(k=5)
+    o["ann_ivf_cluster_sizes"] = sim.ivf_cluster_sizes_sql()
     o["embedding_near_dup"] = sim.cosine_near_dup_sql(threshold=0.25, id_window=50)
     o["multimodal_meta"] = (
         "SELECT doc_id, octet_length(html) AS n_bytes, "

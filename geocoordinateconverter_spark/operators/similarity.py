@@ -241,6 +241,128 @@ WHERE {dot} / sqrt({na} * {nb}) >= {threshold!r}e0
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat ANN (r2): the second scale path the round brief names ("an
+# IVF or LSH-bucketed variant").  A fixed coarse quantizer of
+# N_CLUSTERS deterministic centroids assigns every vector to its
+# nearest-L2 cell (argmin ‖x−c‖² = argmax x·c − ‖c‖²/2, the ‖x‖² term
+# is row-constant); candidates for a query are the corpus vectors in
+# the query's cell (nprobe=1 — recall partial by design, same
+# trade-off the oracle replicates), exact-cosine reranked.  Assignment
+# is pure codegen: 16 dot-expressions + a first-max-wins CASE, the
+# lang_id pattern.  Candidate generation = ONE hash equi-join on the
+# cell id.
+# ---------------------------------------------------------------------------
+
+N_CLUSTERS = 16
+
+
+def centroid_coef(c: int, d: int) -> float:
+    """Deterministic centroid component in [-0.5, 0.5)."""
+    return (((c * DIM + d + 101) * 2246822519) % 1000000) / 1000000.0 - 0.5
+
+
+def _centroid_halfnorm(c: int) -> float:
+    # exact float64 fold in d-order, matching nothing row-dependent —
+    # a literal both engines read identically from its repr
+    s = 0.0
+    for d in range(DIM):
+        s = s + centroid_coef(c, d) * centroid_coef(c, d)
+    return s / 2.0
+
+
+def ivf_score_col(a: str, c: int, dim: int = DIM) -> Column:
+    expr = F.lit(centroid_coef(c, 0)) * _elem(a, 1)
+    for d in range(1, dim):
+        expr = expr + F.lit(centroid_coef(c, d)) * _elem(a, d + 1)
+    return expr - F.lit(_centroid_halfnorm(c))
+
+
+def ivf_score_sql(a: str, c: int, dim: int = DIM) -> str:
+    terms = " + ".join(
+        f"{centroid_coef(c, d)!r}e0 * cast({a}[{d + 1}] as double)"
+        for d in range(dim))
+    return f"(({terms}) - {_centroid_halfnorm(c)!r}e0)"
+
+
+def ivf_cluster_col(a: str) -> Column:
+    scores = [ivf_score_col(a, c) for c in range(N_CLUSTERS)]
+    best = F.greatest(*scores)
+    expr = F.lit(None).cast("int")
+    out = None
+    for c in range(N_CLUSTERS):  # first max in index order wins
+        cond = scores[c] == best
+        out = F.when(cond, F.lit(c)) if out is None else out.when(cond, F.lit(c))
+    return out.otherwise(F.lit(-1))
+
+
+def ivf_assign_sql(table: str, id_col: str = "vec_id") -> str:
+    """(id, embedding, cluster) subquery over ``table`` — layered so the
+    16 score expressions appear once each."""
+    score_defs = ", ".join(f"{ivf_score_sql('embedding', c)} AS s{c}"
+                           for c in range(N_CLUSTERS))
+    best = "greatest(" + ", ".join(f"s{c}" for c in range(N_CLUSTERS)) + ")"
+    whens = " ".join(f"when s{c} = best then {c}" for c in range(N_CLUSTERS))
+    return f"""
+(SELECT {id_col}, embedding, case {whens} else -1 end AS cluster
+ FROM (SELECT {id_col}, embedding, {score_defs}, {best} AS best
+       FROM {table}) q_sc)
+"""
+
+
+def ivf_topk(emb: DataFrame, k: int = 5,
+             query_filter: str = "vec_id % 50 = 0") -> DataFrame:
+    """IVF-flat top-k: one equi-join on the quantizer cell, exact
+    cosine rerank inside the cell."""
+    b = (emb.withColumn("cluster", ivf_cluster_col("embedding"))
+         .withColumn("n2", norm2_col("embedding")))
+    q = b.filter(query_filter).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("cluster").alias("q_cluster"), F.col("n2").alias("q_n2"))
+    cand = (b.join(F.broadcast(q),
+                   (F.col("cluster") == F.col("q_cluster"))
+                   & (F.col("vec_id") != F.col("q_id")))
+            .withColumn("cos", dot_col("q_emb", "embedding")
+                        / F.sqrt(F.col("q_n2") * F.col("n2"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "rk",
+                    F.round("cos", 9).alias("cos_sim")))
+
+
+def ivf_topk_sql(k: int = 5, query_filter: str = "vec_id % 50 = 0") -> str:
+    dot = dot_sql("q.q_emb", "c.embedding")
+    n1 = norm2_sql("q.q_emb")
+    n2 = norm2_sql("c.embedding")
+    corpus = ivf_assign_sql("embeddings")
+    return f"""
+SELECT q_id, vec_id, rk, round(cos, 9) AS cos_sim FROM (
+  SELECT q.q_id AS q_id, c.vec_id AS vec_id,
+         {dot} / sqrt({n1} * {n2}) AS cos,
+         row_number() OVER (PARTITION BY q.q_id
+            ORDER BY {dot} / sqrt({n1} * {n2}) DESC, c.vec_id ASC) AS rk
+  FROM {corpus} c
+  JOIN (SELECT vec_id AS q_id, embedding AS q_emb, cluster AS q_cluster
+        FROM {ivf_assign_sql("embeddings")} qq WHERE {query_filter}) q
+    ON c.cluster = q.q_cluster AND c.vec_id <> q.q_id) z
+WHERE rk <= {k}
+"""
+
+
+def ivf_cluster_sizes(emb: DataFrame) -> DataFrame:
+    """Quantizer balance diagnostic (skew in cell sizes is IVF's
+    failure mode at scale — worth a first-class check)."""
+    return (emb.withColumn("cluster", ivf_cluster_col("embedding"))
+            .groupBy("cluster").agg(F.count("*").alias("n_vecs")))
+
+
+def ivf_cluster_sizes_sql() -> str:
+    return (f"SELECT cluster, count(*) AS n_vecs "
+            f"FROM {ivf_assign_sql('embeddings')} q GROUP BY cluster")
+
+
 def dot_pandas_udf(dim: int = DIM):
     """Arrow-batched dot product for wide vectors (the unrolled-expr
     alternative when dim is large); bitwise-equal to dot_col by

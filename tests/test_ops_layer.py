@@ -69,6 +69,57 @@ def test_streaming_equals_batch(spark, tmp_path_factory):
         got[batch.columns.tolist()].astype(batch.dtypes.to_dict()), batch)
 
 
+def test_geo_pipeline_streaming_equals_batch(spark, tmp_path_factory):
+    """Streaming twin of the flagship geoparse→t3→tile pipeline equals
+    the batch run row-for-row (availableNow, complete mode)."""
+    import shutil
+
+    from geocoordinateconverter_spark.streaming import geopipeline as gp
+    base = tmp_path_factory.mktemp("geostream")
+    docs_dir = base / "documents"
+    docs_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", docs_dir / "part-0.parquet")
+    spark.read.parquet(str(docs_dir)).createOrReplaceTempView("gp_docs")
+    batch = (gp.flagship_tiles_batch(spark, "gp_docs")
+             .toPandas().sort_values("cell").reset_index(drop=True))
+    sdf = gp.flagship_tiles_streaming(spark, str(docs_dir))
+    q = (sdf.writeStream.format("memory").queryName("geotiles")
+         .outputMode("complete")
+         .option("checkpointLocation", str(base / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("geotiles").toPandas()
+           .sort_values("cell").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[batch.columns.tolist()].astype(batch.dtypes.to_dict()), batch)
+
+
+def test_ivf_assignment_and_rerank(spark):
+    """IVF quantizer: every vector lands in a valid cell; the in-cell
+    top-k cosine ordering agrees with a NumPy recomputation."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    sizes = sim.ivf_cluster_sizes(emb).toPandas()
+    assert set(sizes["cluster"]) <= set(range(sim.N_CLUSTERS))
+    assert sizes["n_vecs"].sum() == emb.count()
+    got = sim.ivf_topk(emb, k=3).toPandas()
+    # NumPy oracle: assign with the same centroids, rerank in-cell
+    pdf = emb.toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    C = np.array([[sim.centroid_coef(c, d) for d in range(sim.DIM)]
+                  for c in range(sim.N_CLUSTERS)])
+    scores = X @ C.T - 0.5 * (C * C).sum(axis=1)
+    assign = scores.argmax(axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.sqrt((X * X).sum(axis=1))
+    for q_row in np.nonzero(ids % 50 == 0)[0][:5]:
+        cell = assign[q_row]
+        cand = np.nonzero((assign == cell) & (ids != ids[q_row]))[0]
+        cos = (X[cand] @ X[q_row]) / (norms[cand] * norms[q_row])
+        order = cand[np.lexsort((ids[cand], -cos))][:3]
+        mine = got[got.q_id == ids[q_row]].sort_values("rk")["vec_id"].tolist()
+        assert mine == ids[order].tolist()
+
+
 @pytest.fixture(scope="module")
 def skewed_pts(spark):
     rng = np.random.default_rng(5)

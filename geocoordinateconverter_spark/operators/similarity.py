@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.sqlgen import f as _flit
+
 DIM = 64
 N_PLANES = 8
 
@@ -75,7 +77,7 @@ def plane_proj_col(a: str, p: int, dim: int = DIM) -> Column:
 
 def plane_proj_sql(a: str, p: int, dim: int = DIM) -> str:
     terms = " + ".join(
-        f"{plane_coef(p, d)!r}e0 * cast({a}[{d + 1}] as double)"
+        f"{_flit(plane_coef(p, d))} * cast({a}[{d + 1}] as double)"
         for d in range(dim))
     return "(" + terms + ")"
 
@@ -280,9 +282,9 @@ def ivf_score_col(a: str, c: int, dim: int = DIM) -> Column:
 
 def ivf_score_sql(a: str, c: int, dim: int = DIM) -> str:
     terms = " + ".join(
-        f"{centroid_coef(c, d)!r}e0 * cast({a}[{d + 1}] as double)"
+        f"{_flit(centroid_coef(c, d))} * cast({a}[{d + 1}] as double)"
         for d in range(dim))
-    return f"(({terms}) - {_centroid_halfnorm(c)!r}e0)"
+    return f"(({terms}) - {_flit(_centroid_halfnorm(c))})"
 
 
 def ivf_cluster_col(a: str) -> Column:

@@ -113,6 +113,10 @@ def q_ann(spark, sf_dir):
     return sim.brute_force_topk(spark.table("embeddings"), k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    return sim.ivf_topk(spark.table("embeddings"), k=5)
+
+
 def q_dedup(spark, sf_dir):
     return td.exact_dedup(spark.table("documents"))
 
@@ -127,6 +131,7 @@ BENCH_QUERIES = {
     "knn_join": q_knn,
     "minhash_lsh_pairs": q_minhash,
     "ann_cosine_topk": q_ann,
+    "ann_ivf_topk": q_ann_ivf,
     "dedup_exact": q_dedup,
     "tpch_q1": q_tpch1,
 }

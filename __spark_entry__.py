@@ -382,6 +382,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.round("o.h", 2).alias("h_out"))
     q["height_mode_override_t3_hg"] = q_height_override
 
+    # ---- gk-slo CLI parity surface (api.py): -x self-test + -r path ------
+    def q_selftest(spark, sf_dir):
+        from geocoordinateconverter_spark import api
+        return api.self_test(spark)
+    q["selftest_golden_chains"] = q_selftest
+
+    def q_cli_reverse(spark, sf_dir):
+        # -r: the source arrives (la, fi)-swapped; convert() re-swaps
+        from geocoordinateconverter_spark import api
+        _register(spark, sf_dir)
+        src = spark.sql(
+            f"SELECT k, la AS c_la, fi AS c_fi, h FROM "
+            f"{_src_wgs('o_orderkey', 'orders')} WHERE k % 29 = 0")
+        out = api.convert(src, t=2, height_mode="ht", reverse=True,
+                          cols=("c_la", "c_fi", "h"))
+        return out.select("k", F.round("x_out", 2).alias("x_out"),
+                          F.round("y_out", 2).alias("y_out"))
+    q["cli_reverse_t2"] = q_cli_reverse
+
     # ---- DMS formatting (util.c F2) — pure codegen arithmetic ------------
     def q_dms_format(spark, sf_dir):
         _register(spark, sf_dir)
@@ -793,6 +812,11 @@ WHERE rk <= 3
         f"SELECT q1.k AS k, q1.h AS h, q2.geoid_n AS geoid_n "
         f"FROM {_pts_orders} q1 "
         f"JOIN {sg.geoid_sql(_pts_orders, 'k', 'slo')} q2 ON q1.k = q2.k) q3")
+
+    from geocoordinateconverter_spark import api as _api
+    o["selftest_golden_chains"] = _api.self_test_oracle_sql()
+    o["cli_reverse_t2"] = _chain_oracle(
+        sg.t2_sql, SRC_WGS_ORDERS, "k % 29 = 0", ("x", "y"), (2, 2))
 
     _t3o23 = (f"({sg.t3_sql(f'(SELECT * FROM {SRC_GK_LINEITEM} WHERE k % 23 = 0) q_f', 'k')})")
     # keep-list threading (no join: k is NOT unique over lineitem

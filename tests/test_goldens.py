@@ -13,7 +13,8 @@ import numpy as np
 from geocoordinateconverter_spark import aft
 from geocoordinateconverter_spark import geodesy as g
 from geocoordinateconverter_spark import geoid
-from tests.golden_frozen import EXPECTED, GEOID_SLO_N, GK_IN, WGS_IN
+from geocoordinateconverter_spark.goldens import (EXPECTED, GEOID_SLO_N,
+                                                  GK_IN, WGS_IN)
 
 CHAINS = {3: (g.gk_to_wgs84, "GK"), 5: (g.gk_to_tm, "GK"),
           9: (aft.gk_to_tm_aft, "GK"),

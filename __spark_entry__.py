@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_ratio"] = lambda s, d: td.repetition_ratio(_docs(s, d))
 
     q["dedup_exact"] = lambda s, d: td.exact_dedup(_docs(s, d))
+    q["near_dup_drop_list"] = lambda s, d: td.near_dup_drop_list(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: td.minhash_signatures(_docs(s, d))
     q["minhash_lsh_pairs"] = lambda s, d: td.minhash_pairs(_docs(s, d))
     q["simhash"] = lambda s, d: td.simhash(_docs(s, d))
@@ -858,6 +859,7 @@ GROUP BY lang
     o["c4_quality_filter"] = td.c4_quality_filter_sql()
     o["repetition_ratio"] = td.repetition_ratio_sql()
     o["dedup_exact"] = td.EXACT_DEDUP_SQL
+    o["near_dup_drop_list"] = td.near_dup_drop_list_sql()
     o["minhash_signatures"] = f"SELECT doc_id, perm, sig FROM {td.MINHASH_SIG_SQL} q"
     o["minhash_lsh_pairs"] = (
         f"SELECT doc_a, doc_b, est_jaccard FROM {td.MINHASH_PAIRS_SQL} q")

@@ -691,3 +691,48 @@ FROM (
   GROUP BY doc_id, gram) qc
 GROUP BY doc_id
 """
+
+
+def near_dup_drop_list(docs: DataFrame,
+                       est_threshold: float = 0.7) -> DataFrame:
+    """Curation composition: from the MinHash-LSH candidate pairs above
+    ``est_threshold``, mark the LOWER-QUALITY member of each pair for
+    dropping (quality = token count, ties keep the lower doc_id — the
+    standard 'dedup keeps the best member of each near-dup cluster'
+    step).  Emits (drop_doc_id, n_better): how many better near-twins a
+    doc has.  Cost on top of minhash_pairs: one broadcast-sized metrics
+    join + one hash agg."""
+    pairs = minhash_pairs(docs).filter(F.col("est_jaccard") >= est_threshold)
+    m = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .alias("n_tok"))
+    j = (pairs
+         .join(m.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n_tok").alias("na")), "doc_a")
+         .join(m.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n_tok").alias("nb")), "doc_b"))
+    loser = F.when((F.col("na") < F.col("nb"))
+                   | ((F.col("na") == F.col("nb"))
+                      & (F.col("doc_a") > F.col("doc_b"))),
+                   F.col("doc_a")).otherwise(F.col("doc_b"))
+    return (j.select(loser.alias("drop_doc_id"))
+            .groupBy("drop_doc_id")
+            .agg(F.count("*").alias("n_better")))
+
+
+def near_dup_drop_list_sql(est_threshold: float = 0.7) -> str:
+    return f"""
+SELECT drop_doc_id, count(*) AS n_better FROM (
+  SELECT case when (na < nb) or (na = nb and doc_a > doc_b)
+              then doc_a else doc_b end AS drop_doc_id
+  FROM (SELECT doc_a, doc_b FROM {MINHASH_PAIRS_SQL} qp
+        WHERE est_jaccard >= {est_threshold!r}e0) p
+  JOIN (SELECT doc_id, len(list_filter(string_split(text, ' '),
+                             t -> t <> '')) AS na FROM documents) ma
+    ON p.doc_a = ma.doc_id
+  JOIN (SELECT doc_id, len(list_filter(string_split(text, ' '),
+                             t -> t <> '')) AS nb FROM documents) mb
+    ON p.doc_b = mb.doc_id) q
+GROUP BY drop_doc_id
+"""

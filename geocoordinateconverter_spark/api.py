@@ -54,6 +54,16 @@ def convert(df: DataFrame, t: int, height_mode: str | None = None,
     chains and ``(x, y, h)`` otherwise; pass ``cols`` to override.
     All other columns ride along untouched (the reference's label /
     DBF-attribute passthrough).  Output columns are suffixed ``_out``.
+
+    ``reverse=True`` (gk-slo ``-r``) means the SOURCE arrives with its
+    two coordinates swapped on disk; pass ``cols`` in the ON-DISK
+    column order and convert() un-swaps them before the kernel, e.g. a
+    feed whose pairs are (lon, lat)::
+
+        convert(df, t=2, reverse=True, cols=("lon", "lat", "h"))
+
+    With default ``cols`` the same rule applies positionally: the
+    first-named column holds the second coordinate's values.
     """
     in_names = (("fi", "la", "h") if t in IN_GEOGRAPHIC else ("x", "y", "h"))
     c1n, c2n, c3n = cols or in_names

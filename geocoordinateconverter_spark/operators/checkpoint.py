@@ -64,8 +64,21 @@ def _commit_batch(b: DataFrame, out_dir: str, mpath: str,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("bucket").parquet(out_dir))
     wall = time.time() - t0
-    stats = {r.bucket: (int(r.n_rows), int(r.value_hash or 0))
-             for r in _bucket_hash(part).collect()}  # ≤ n_buckets rows
+    # Manifest stats come from RE-READING the just-written bucket dirs,
+    # not from re-running the upstream plan: the hash then certifies the
+    # actual committed bytes (even if an upstream op were ever
+    # nondeterministic) and the upstream lineage executes exactly once.
+    # The bucket=* glob + isin filter is FS-agnostic and partition-
+    # pruned to the batch's dirs (a bucket with zero rows writes no dir
+    # and keeps its (0, 0) manifest row via stats.get below).
+    try:
+        committed = (spark.read.option("basePath", out_dir)
+                     .parquet(os.path.join(out_dir, "bucket=*"))
+                     .filter(F.col("bucket").isin([int(i) for i in batch])))
+        stats = {r.bucket: (int(r.n_rows), int(r.value_hash or 0))
+                 for r in _bucket_hash(committed).collect()}  # ≤ n_buckets rows
+    except Exception:
+        stats = {}  # empty input: no bucket dir was written at all
     rows = [(int(i), *stats.get(i, (0, 0)), wall / max(len(batch), 1))
             for i in batch]
     spark.createDataFrame(

@@ -139,7 +139,8 @@ MAX_BUCKET = 50  # skip degenerate buckets (bucket of m docs → m²/2
 # replicates it, so results stay exactly comparable.
 
 
-def minhash_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+def minhash_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET,
+                  cache: list | None = None) -> DataFrame:
     """Candidate near-dup pairs: share ≥1 (non-degenerate) LSH band
     bucket; score = fraction of equal signature components (MinHash
     Jaccard estimate).
@@ -153,7 +154,11 @@ def minhash_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     three are gone.  The banded self-equi-join plus the degenerate-
     bucket cap still bound the candidate count (the LSH sub-quadratic
     guarantee).  The capped band table is persisted because the
-    self-join reads it twice."""
+    self-join reads it twice — the CALLER owns that cache: each call
+    persists a fresh copy, so long-lived sessions invoking this
+    repeatedly should pass a list as ``cache`` to receive the persisted
+    band DataFrame and ``unpersist()`` it once the returned plan has
+    been materialized (otherwise storage copies stack up)."""
     sig = minhash_signatures(docs)
     sig_arr = sig.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("perm", "sig"))).alias("ps"))
@@ -169,6 +174,8 @@ def minhash_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     bands = (bands.withColumn("bsize", F.count("*").over(wb))
              .filter(F.col("bsize") <= max_bucket).drop("bsize")
              .persist())
+    if cache is not None:
+        cache.append(bands)
     eq = F.size(F.filter(
         F.zip_with(F.col("a.ps"), F.col("b.ps"),
                    lambda x, y: x["sig"] == y["sig"]),
@@ -610,8 +617,12 @@ def c4_quality_filter(docs: DataFrame) -> DataFrame:
     applied to quality gating."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     n_tok = F.size(toks)
-    avg_wlen = (F.length(F.regexp_replace("text", " ", ""))
-                / n_tok.cast("double"))
+    # n_tok = 0 (empty / whitespace-only doc — exactly the junk this
+    # gate exists to drop) must yield NULL avg_word_len and keep=false,
+    # not an ANSI DIVIDE_BY_ZERO crash; matches DuckDB's NULL-on-/0.
+    avg_wlen = F.when(
+        n_tok > 0,
+        F.length(F.regexp_replace("text", " ", "")) / n_tok.cast("double"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     has_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
     f_len = n_tok >= C4_MIN_TOKENS
@@ -693,16 +704,20 @@ GROUP BY doc_id
 """
 
 
-def near_dup_drop_list(docs: DataFrame,
-                       est_threshold: float = 0.7) -> DataFrame:
+def near_dup_drop_list(docs: DataFrame, est_threshold: float = 0.7,
+                       pairs: DataFrame | None = None) -> DataFrame:
     """Curation composition: from the MinHash-LSH candidate pairs above
     ``est_threshold``, mark the LOWER-QUALITY member of each pair for
     dropping (quality = token count, ties keep the lower doc_id — the
     standard 'dedup keeps the best member of each near-dup cluster'
     step).  Emits (drop_doc_id, n_better): how many better near-twins a
     doc has.  Cost on top of minhash_pairs: one broadcast-sized metrics
-    join + one hash agg."""
-    pairs = minhash_pairs(docs).filter(F.col("est_jaccard") >= est_threshold)
+    join + one hash agg.  Pass a precomputed ``pairs`` DataFrame (from
+    :func:`minhash_pairs`) to reuse an existing candidate table instead
+    of persisting a second band cache."""
+    if pairs is None:
+        pairs = minhash_pairs(docs)
+    pairs = pairs.filter(F.col("est_jaccard") >= est_threshold)
     m = docs.select(
         "doc_id",
         F.size(F.filter(F.split("text", " "), lambda t: t != ""))

@@ -130,8 +130,16 @@ def write_dbf(path: str, fields: list[tuple[str, str, int]],
     for row in rows:
         body += b" "
         for (name, typ, w), v in zip(fields, row):
-            s = (f"{v:>{w}}" if typ == "N" else f"{v:<{w}}")[:w]
-            body += s.encode()
+            # DBF records are fixed-width in BYTES: encode first, then
+            # pad/validate at the byte level — char-level padding shifts
+            # every later field when a 'C' value is non-ASCII, and
+            # silently truncating an over-width 'N' corrupts the value.
+            bv = str(v).encode()
+            if len(bv) > w:
+                raise ValueError(
+                    f"DBF field {name!r}: value {v!r} is {len(bv)} bytes, "
+                    f"exceeds declared width {w}")
+            body += bv.rjust(w, b" ") if typ == "N" else bv.ljust(w, b" ")
     with open(path, "wb") as f:
         f.write(head + descs + b"\x0d" + bytes(body) + b"\x1a")
 

@@ -108,6 +108,26 @@ def _shp_vert_src() -> str:
 
 SHP_VERT_SRC = _shp_vert_src()
 
+
+# PolyLine + multi-field DBF fixtures for the attribute-passthrough
+# query (gk-shp copies every DBF field alongside converted geometry):
+# 3-vertex polyline per supplier + (name C, pop N) attributes.
+def _shp_line_src() -> str:
+    sels = []
+    for j in range(3):
+        p = sg.tm_points_sql(f"(geom_id * 4 + {j})")
+        sels.append(
+            f"SELECT geom_id, {j} AS vid, {p['x']} AS x, {p['y']} AS y "
+            f"FROM (SELECT s_suppkey AS geom_id FROM supplier) q_g")
+    return "(" + " UNION ALL ".join(sels) + ") q_v"
+
+
+SHP_LINE_SRC = _shp_line_src()
+SHP_ATTR_SRC = ("(SELECT s_suppkey AS geom_id, "
+                "concat('sup_', cast(s_suppkey as string)) AS name, "
+                "cast(s_suppkey * 37 % 100000 as bigint) AS pop "
+                "FROM supplier) q_a")
+
 # host-varied URL table for the per-host grouping primitive (the
 # webpages fixture keeps one host; CC pipelines cap/dedup per host)
 HOST_SRC = ("(SELECT concat('https://w', cast(doc_id % 53 as string), "
@@ -464,6 +484,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            F.round("o.y", 2).alias("y_out"))
     q["shapefile_roundtrip_convert"] = q_shp_roundtrip
 
+    # ---- S5/S6 breadth (r3): PolyLine shapes + multi-field DBF (N+C)
+    # attribute passthrough — gk-shp copies every attribute verbatim ---
+    def q_shp_attrs(spark, sf_dir):
+        import tempfile
+
+        from geocoordinateconverter_spark.sources import shapefile as shp
+        _register(spark, sf_dir)
+        verts = (spark.sql(f"SELECT * FROM {SHP_LINE_SRC}")
+                 .select("geom_id", F.lit(0).alias("part"), "vid", "x", "y"))
+        attrs = spark.sql(f"SELECT * FROM {SHP_ATTR_SRC}")
+        base = tempfile.mkdtemp(prefix="shp_attrs_") + "/lines"
+        shp.df_to_shapefile(verts, base, shp.SHP_POLYLINE, attrs=attrs)
+        back_v = shp.shapefile_to_df(spark, base)  # bit-exact vertices
+        back_a = shp.dbf_to_df(spark, base)        # DBF N+C fields
+        return (back_v.join(back_a, "geom_id")
+                .select("geom_id", "vid", "x", "y", "name", "pop"))
+    q["shapefile_attrs_passthrough"] = q_shp_attrs
+
     # ================= training-data pipeline operators ===================
     def _docs(spark, sf_dir):
         _register(spark, sf_dir)
@@ -478,6 +516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_exact"] = lambda s, d: td.exact_dedup(_docs(s, d))
     q["near_dup_drop_list"] = lambda s, d: td.near_dup_drop_list(_docs(s, d))
+    q["near_dup_components"] = lambda s, d: td.near_dup_components(_docs(s, d))
+
+    def q_host_cap(spark, sf_dir):
+        _register(spark, sf_dir)
+        return td.host_cap_keep_first(spark.sql(f"SELECT * FROM {HOST_SRC}"))
+    q["host_cap_keep_first"] = q_host_cap
     q["minhash_signatures"] = lambda s, d: td.minhash_signatures(_docs(s, d))
     q["minhash_lsh_pairs"] = lambda s, d: td.minhash_pairs(_docs(s, d))
     q["simhash"] = lambda s, d: td.simhash(_docs(s, d))
@@ -512,6 +556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf_dir)
         return sim.ivf_cluster_sizes(spark.table("embeddings"))
     q["ann_ivf_cluster_sizes"] = q_ivf_sizes
+
+    def q_ivf_nprobe(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.ivf_nprobe_topk(spark.table("embeddings"), k=5, nprobe=3)
+    q["ann_ivf_nprobe_topk"] = q_ivf_nprobe
 
     def q_cnd(spark, sf_dir):
         _register(spark, sf_dir)
@@ -666,7 +715,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sw.windowed_event_agg(spark.table("events"))
     q["events_window_agg"] = q_evwin
 
-    return q
+    def q_stream_flagship(spark, sf_dir):
+        # streaming lineage under the DRIVER gate (VERDICT r2 #6): the
+        # flagship geoparse→t3→tile pipeline runs through readStream +
+        # availableNow into a memory sink; the returned table is the
+        # streaming epoch's complete-mode result, oracled against the
+        # batch SQL twin.
+        import os
+        import shutil
+        import tempfile
+        from geocoordinateconverter_spark.streaming import geopipeline as gp
+        _register(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="stream_flagship_")
+        docs_dir = os.path.join(base, "documents")
+        os.makedirs(docs_dir)
+        shutil.copy(f"{sf_dir}/documents.parquet",
+                    os.path.join(docs_dir, "part-0.parquet"))
+        sdf = gp.flagship_tiles_streaming(spark, docs_dir)
+        qh = (sdf.writeStream.format("memory")
+              .queryName("stream_flagship_tiles_mem")
+              .outputMode("complete")
+              .option("checkpointLocation", os.path.join(base, "ck"))
+              .trigger(availableNow=True).start())
+        qh.awaitTermination(300)
+        return spark.table("stream_flagship_tiles_mem")
+    q["streaming_flagship_tiles"] = q_stream_flagship
+
+    return _windowed(q)
+
+
+# The driver's CORRECTNESS snapshot records the FIRST 50 registered
+# queries; r2 left the ANN/relational block past that cap with local-
+# only verification (VERDICT r2 "Next round" #2).  _WINDOW_PRIORITY
+# front-loads (a) everything uncovered in r02 and (b) queries whose
+# code changed this round, rotating out 23 entries that were driver-
+# green in BOTH r01 and r02 (they remain registered after slot 50 and
+# stay covered by tools/local_verify.py + pytest).
+_WINDOW_PRIORITY = [
+    # r02-uncovered block (20)
+    "minhash_rerank_exact", "ann_cosine_topk", "ann_lsh_buckets",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_cluster_sizes",
+    "embedding_near_dup", "multimodal_meta", "multimodal_features",
+    "tpch_q1_pricing", "join_topk_customers", "window_lag_rank",
+    "set_ops_users", "semi_anti_join", "rollup_orders",
+    "range_join_bands", "sessionize_events", "cube_events",
+    "exact_percentiles", "events_window_agg",
+    # new in r3
+    "ann_ivf_nprobe_topk", "streaming_flagship_tiles",
+    "shapefile_attrs_passthrough", "near_dup_components",
+    "host_cap_keep_first",
+    # single-driver-row (r02 only) entries stay inside the window
+    "geoparse_comma_decimal", "geoparse_symbol_dms",
+    "geoparse_height_default", "geoparse_swapped_pair",
+    "height_mode_override_t3_hg", "selftest_golden_chains",
+    "cli_reverse_t2", "shapefile_roundtrip_convert", "url_host_stats",
+    "c4_quality_filter", "repetition_ratio", "near_dup_drop_list",
+    # load-bearing / changed-path entries kept in the window
+    "minhash_lsh_pairs", "minhash_signatures", "dedup_exact",
+    "tile_t3_cells", "tile_rollup_res5", "pip_join_municipalities",
+    "pip_tile_agg", "knn_join_stations", "t3_gk_to_wgs84",
+    "webpages_text_passthrough", "aft_locate_triangle",
+    "geoid_bilinear", "tile_topk_applyinpandas",
+]
+
+
+def _windowed(q: dict) -> dict:
+    head = {k: q[k] for k in _WINDOW_PRIORITY if k in q}
+    return head | {k: v for k, v in q.items() if k not in head}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -860,6 +975,8 @@ GROUP BY lang
     o["repetition_ratio"] = td.repetition_ratio_sql()
     o["dedup_exact"] = td.EXACT_DEDUP_SQL
     o["near_dup_drop_list"] = td.near_dup_drop_list_sql()
+    o["near_dup_components"] = td.near_dup_components_sql()
+    o["host_cap_keep_first"] = td.host_cap_keep_first_sql(HOST_SRC)
     o["minhash_signatures"] = f"SELECT doc_id, perm, sig FROM {td.MINHASH_SIG_SQL} q"
     o["minhash_lsh_pairs"] = (
         f"SELECT doc_a, doc_b, est_jaccard FROM {td.MINHASH_PAIRS_SQL} q")
@@ -992,5 +1109,24 @@ SELECT event_type, quantile_cont(value, 0.25) AS p25,
 FROM events GROUP BY event_type
 """
     o["events_window_agg"] = sw.WINDOWED_EVENT_AGG_SQL
+
+    # ---- r3 additions ---------------------------------------------------
+    o["ann_ivf_nprobe_topk"] = sim.ivf_nprobe_topk_sql(k=5, nprobe=3)
+
+    o["shapefile_attrs_passthrough"] = (
+        f"SELECT q_v.geom_id AS geom_id, q_v.vid AS vid, q_v.x AS x, "
+        f"q_v.y AS y, q_a.name AS name, q_a.pop AS pop "
+        f"FROM {SHP_LINE_SRC} JOIN {SHP_ATTR_SRC} "
+        f"ON q_v.geom_id = q_a.geom_id")
+
+    # batch SQL twin of the streaming flagship epoch (complete mode ≡
+    # one batch over the same files)
+    _gkp = (f"(SELECT url, x, y, h "
+            f"FROM {wp.geoparse_gk_sql(wp.webpages_sql('documents') + ' w')} g) q_gk")
+    from geocoordinateconverter_spark import cells as _cells2
+    o["streaming_flagship_tiles"] = (
+        f"SELECT cell, count(*) AS n_docs, round(sum(h), 3) AS sum_h FROM ("
+        f"SELECT {_cells2.encode_sql('fi', 'la', 7)} AS cell, h "
+        f"FROM ({sg.t3_sql(_gkp, 'url')}) q_t3) q_c GROUP BY cell")
 
     return o

@@ -147,27 +147,51 @@ def main() -> None:
 
     n_docs = spark.table("lineitem").count() * mult
 
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+
     # warm-up: JIT + Python worker pool spin-up on a small slice, so the
     # measured runs see steady-state executors (same treatment for every
     # parallelism level)
     flagship(spark, sf_dir).limit(1).count()
 
-    t0 = time.time()
-    flagship_rows = flagship(spark, sf_dir, mult).count()
-    flagship_s = time.time() - t0
+    def timed(fn) -> float:
+        # clear explicit Spark caches BEFORE each timed run: operators
+        # that persist internals (minhash band table) would otherwise
+        # serve repeats 2..N from cache and min-of-N would report the
+        # cache-hit time (measured 0.8 s vs 8 s cold), not the operator
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn()
+        return time.time() - t0
 
-    times: dict[str, float] = {"flagship_t3_pip_tile": round(flagship_s, 3)}
+    # min-of-N per query (VERDICT r2 #9): the shared host drifts on
+    # minute scales (documented 20× capacity swings), so a single shot
+    # regularly masquerades as a 2–4× regression; min over repeats is
+    # the only estimator that tracked code changes across rounds.
+    runs: dict[str, list[float]] = {}
+    flagship_rows = 0
+
+    def run_flagship():
+        nonlocal flagship_rows
+        flagship_rows = flagship(spark, sf_dir, mult).count()
+
+    runs["flagship_t3_pip_tile"] = [
+        round(timed(run_flagship), 3) for _ in range(repeats)]
     if not flagship_only:
         for name, fn in BENCH_QUERIES.items():
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            times[name] = round(time.time() - t0, 3)
+            runs[name] = [round(timed(lambda: fn(spark, sf_dir).count()), 3)
+                          for _ in range(repeats)]
+
+    times = {name: min(r) for name, r in runs.items()}
+    flagship_s = times["flagship_t3_pip_tile"]
 
     out = {
         "metric": "D48/GK→WGS84 (t=3) + PIP join + tile agg wall-clock",
         "value": round(flagship_s, 3),
         "unit": "sec",
         "queries": times,
+        "query_runs": runs,
+        "repeats": repeats,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cores": cores,
         "flagship_input_rows": n_docs,

@@ -736,6 +736,106 @@ def near_dup_drop_list(docs: DataFrame, est_threshold: float = 0.7,
             .agg(F.count("*").alias("n_better")))
 
 
+def near_dup_components(docs: DataFrame, est_threshold: float = 0.7,
+                        pairs: DataFrame | None = None,
+                        max_iter: int = 25) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph —
+    the clustering step real dedup pipelines run between candidate
+    pairs and the keep-one-per-cluster decision (each component gets
+    the MIN doc_id in it as its label).
+
+    Algorithm: min-label propagation to fixpoint.  Each round joins the
+    current labels onto the symmetric edge list, takes the min of a
+    node's own label and its neighbors' labels, and stops when no label
+    changed (checked with one tiny count).  Rounds ≈ component
+    diameter — near-dup clusters are dense and shallow, so a handful in
+    practice; ``localCheckpoint`` truncates lineage each round so plans
+    stay flat at any scale.  (At 10¹² docs you'd swap the inner step
+    for the large-star/small-star variant — same join shape, fewer
+    rounds on adversarially long paths; the fixpoint semantics and this
+    operator's output are identical.)
+
+    Iterative → registered as an oracle via DuckDB WITH RECURSIVE
+    reachability (min reachable id ≡ min-label fixpoint on symmetric
+    edges).  Output: one row per doc that belongs to a component of
+    size ≥ 2 — (doc_id, component, is_kept)."""
+    if pairs is None:
+        pairs = minhash_pairs(docs)
+    e = (pairs.filter(F.col("est_jaccard") >= est_threshold)
+         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .distinct().localCheckpoint(eager=False))
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("doc_id"),
+                      F.col("src").alias("label")))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.dst == labels.doc_id)
+                   .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr_min, labels.doc_id == nbr_min.src,
+                                  "left")
+                      .select(F.col("doc_id"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=False))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("is_kept"))
+
+
+def near_dup_components_sql(est_threshold: float = 0.7) -> str:
+    return f"""
+WITH RECURSIVE
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM {MINHASH_PAIRS_SQL} qp
+  WHERE est_jaccard >= {est_threshold!r}e0
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM {MINHASH_PAIRS_SQL} qp
+  WHERE est_jaccard >= {est_threshold!r}e0),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS doc_id, min(b) AS component,
+       (a = min(b)) AS is_kept
+FROM reach GROUP BY a
+"""
+
+
+def host_cap_keep_first(pages: DataFrame, cap: int = 5,
+                        url_col: str = "url") -> DataFrame:
+    """Per-host document cap (CC pipelines bound any single host's
+    contribution): rank a host's docs by doc_id and keep the first
+    ``cap``.  One window shuffle on the host key; emits the rank and
+    keep flag for every doc (no silent drops)."""
+    host = F.regexp_extract(F.col(url_col), RE_HOST, 1)
+    w = Window.partitionBy("host").orderBy(F.col("doc_id").asc())
+    return (pages.withColumn("host", host)
+            .withColumn("host_rank",
+                        F.row_number().over(w).cast("int"))
+            .select("doc_id", "host", "host_rank",
+                    (F.col("host_rank") <= cap).alias("keep")))
+
+
+def host_cap_keep_first_sql(src: str, cap: int = 5) -> str:
+    return f"""
+SELECT doc_id, host, host_rank, host_rank <= {cap} AS keep FROM (
+  SELECT doc_id, host,
+         cast(row_number() OVER (PARTITION BY host ORDER BY doc_id ASC)
+              as int) AS host_rank
+  FROM (SELECT regexp_extract(url, '{RE_HOST}', 1) AS host, doc_id
+        FROM {src}) q1) q2
+"""
+
+
 def near_dup_drop_list_sql(est_threshold: float = 0.7) -> str:
     return f"""
 SELECT drop_doc_id, count(*) AS n_better FROM (

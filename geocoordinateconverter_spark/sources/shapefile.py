@@ -22,6 +22,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 SHP_POINT = 1
@@ -195,10 +196,16 @@ def shapefile_to_df(spark: SparkSession, path_base: str) -> DataFrame:
 
 
 def df_to_shapefile(df: DataFrame, path_base: str,
-                    shape_type: int = SHP_POLYGON) -> None:
+                    shape_type: int = SHP_POLYGON,
+                    attrs: DataFrame | None = None) -> None:
     """Vertex DataFrame (VERTEX_SCHEMA, converted or not) → SHP + DBF.
     Collects — by design: see module docstring (dim-side exchange
-    format; a .shp is one sequential file)."""
+    format; a .shp is one sequential file).
+
+    ``attrs``: optional per-geometry attribute DataFrame (gk-shp's DBF
+    attribute copy) with a ``geom_id`` column plus any number of
+    integer ('N') / string ('C') columns; rows are aligned to the .shp
+    record order and written as extra DBF fields."""
     pdf = df.toPandas().sort_values(["geom_id", "part", "vid"])
     shapes, ids = [], []
     for gid, g in pdf.groupby("geom_id", sort=True):
@@ -207,5 +214,32 @@ def df_to_shapefile(df: DataFrame, path_base: str,
         shapes.append(parts)
         ids.append(int(gid))
     write_shp(path_base, shapes, shape_type)
-    write_dbf(path_base + ".dbf", [("GEOM_ID", "N", 18)],
-              [(i,) for i in ids])
+    if attrs is None:
+        write_dbf(path_base + ".dbf", [("GEOM_ID", "N", 18)],
+                  [(i,) for i in ids])
+        return
+    apdf = (attrs.toPandas().set_index("geom_id").reindex(ids)
+            .reset_index())
+    fields: list[tuple[str, str, int]] = []
+    for col in apdf.columns:
+        vals = apdf[col]
+        if pd.api.types.is_integer_dtype(vals):
+            fields.append((col.upper()[:10], "N", 18))
+        elif vals.dtype == object or pd.api.types.is_string_dtype(vals):
+            w = max((len(str(v).encode()) for v in vals), default=1)
+            fields.append((col.upper()[:10], "C", max(w, 1)))
+        else:
+            raise ValueError(
+                f"DBF attribute {col!r}: only integer (N) and string (C) "
+                f"fields are supported, got dtype {vals.dtype}")
+    write_dbf(path_base + ".dbf", fields,
+              [tuple(r) for r in apdf.itertuples(index=False)])
+
+
+def dbf_to_df(spark: SparkSession, path_base: str) -> DataFrame:
+    """DBF attribute table → DataFrame (N → bigint, C → string; field
+    names lowercased) — the read side of the attribute passthrough."""
+    fields, rows = read_dbf(path_base + ".dbf")
+    schema = ", ".join(f"{n.lower()} {'bigint' if t == 'N' else 'string'}"
+                       for n, t, _ in fields)
+    return spark.createDataFrame(rows, schema)

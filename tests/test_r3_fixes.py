@@ -91,6 +91,103 @@ def test_minhash_cache_ownership_and_pairs_reuse(spark):
     assert n_pairs >= len(via_reuse)
 
 
+def test_ivf_nprobe_recall_and_numpy_oracle(spark):
+    """nprobe=3 must (a) reproduce the NumPy multi-cell recomputation
+    exactly and (b) never recall FEWER true neighbors than nprobe=1."""
+    import numpy as np
+
+    from geocoordinateconverter_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = sim.ivf_nprobe_topk(emb, k=3, nprobe=3).toPandas()
+    pdf = emb.toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    C = np.array([[sim.centroid_coef(c, d) for d in range(sim.DIM)]
+                  for c in range(sim.N_CLUSTERS)])
+    scores = X @ C.T - 0.5 * (C * C).sum(axis=1)
+    assign = scores.argmax(axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.sqrt((X * X).sum(axis=1))
+    # brute-force true top-3 for recall accounting
+    got1 = sim.ivf_topk(emb, k=3).toPandas()
+    r3_hits = r1_hits = 0
+    for q_row in np.nonzero(ids % 50 == 0)[0][:8]:
+        probes = np.argsort(-scores[q_row], kind="stable")[:3]
+        cand = np.nonzero(np.isin(assign, probes) & (ids != ids[q_row]))[0]
+        cos = (X[cand] @ X[q_row]) / (norms[cand] * norms[q_row])
+        order = cand[np.lexsort((ids[cand], -cos))][:3]
+        mine = got[got.q_id == ids[q_row]].sort_values("rk")["vec_id"].tolist()
+        assert mine == ids[order].tolist()
+        # true neighbors over the whole corpus
+        allc = np.nonzero(ids != ids[q_row])[0]
+        cos_all = (X[allc] @ X[q_row]) / (norms[allc] * norms[q_row])
+        true3 = set(ids[allc[np.lexsort((ids[allc], -cos_all))][:3]])
+        r3_hits += len(true3 & set(mine))
+        m1 = got1[got1.q_id == ids[q_row]]["vec_id"].tolist()
+        r1_hits += len(true3 & set(m1))
+    assert r3_hits >= r1_hits
+
+
+def test_shapefile_attrs_roundtrip(spark, tmp_path):
+    from geocoordinateconverter_spark.sources import shapefile as shp
+    verts = spark.createDataFrame(
+        [(7, 0, 0, 1.0, 2.0), (7, 0, 1, 3.0, 4.0),
+         (9, 0, 0, 5.0, 6.0), (9, 0, 1, 7.0, 8.0)], shp.VERTEX_SCHEMA)
+    attrs = spark.createDataFrame(
+        [(9, "maribor", 95000), (7, "Šmarje", 1400)],
+        "geom_id bigint, name string, pop bigint")
+    base = str(tmp_path / "lines")
+    shp.df_to_shapefile(verts, base, shp.SHP_POLYLINE, attrs=attrs)
+    back = shp.dbf_to_df(spark, base).orderBy("geom_id").collect()
+    # rows re-align to .shp record order (geom_id ascending)
+    assert [(r.geom_id, r.name, r.pop) for r in back] \
+        == [(7, "Šmarje", 1400), (9, "maribor", 95000)]
+    vb = shp.shapefile_to_df(spark, base).orderBy("geom_id", "vid").collect()
+    assert [(r.geom_id, r.vid, r.x, r.y) for r in vb] \
+        == [(7, 0, 1.0, 2.0), (7, 1, 3.0, 4.0),
+            (9, 0, 5.0, 6.0), (9, 1, 7.0, 8.0)]
+
+
+def test_near_dup_components_matches_networkless_oracle(spark):
+    """Min-label propagation must equal a driver-side union-find over
+    the same thresholded pair list (component = min doc_id)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cache: list = []
+    pairs = td.minhash_pairs(docs, cache=cache)
+    got = {r.doc_id: (r.component, r.is_kept)
+           for r in td.near_dup_components(docs, pairs=pairs).collect()}
+    edges = [(r.doc_a, r.doc_b) for r in pairs
+             .filter(F.col("est_jaccard") >= 0.7).collect()]
+    cache[0].unpersist()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {x: find(x) for x in parent}
+    assert got.keys() == exp.keys()
+    for x, root in exp.items():
+        assert got[x] == (root, x == root), x
+    assert len(edges) > 0  # the fixture must actually exercise it
+
+
+def test_host_cap_keep_first(spark):
+    rows = [(i, f"https://h{i % 3}.example.si/p/{i}") for i in range(20)]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    got = td.host_cap_keep_first(pages, cap=2).collect()
+    kept = sorted(r.doc_id for r in got if r.keep)
+    # first 2 doc_ids of each of 3 hosts
+    assert kept == [0, 1, 2, 3, 4, 5]
+    assert all((r.host_rank <= 2) == r.keep for r in got)
+    assert len(got) == 20  # no silent drops
+
+
 def test_convert_reverse_default_cols(spark):
     from geocoordinateconverter_spark import api
     rows = [(46.05, 14.5, 300.0), (45.8, 15.2, 250.0)]

@@ -241,6 +241,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.length("page_text").alias("text_len"))
     q["webpages_text_passthrough"] = q_pages_md5
 
+    def q_hint_schema(spark, sf_dir):
+        # BASELINE.json input_hint fidelity: the synthesized corpus in
+        # exactly the hinted shape (url, warc_ts, html binary, text,
+        # lang); binary + text carried as md5 so the hash compare is
+        # byte-level (the north rule's byte-identical-text invariant)
+        _register(spark, sf_dir)
+        pages = spark.sql(f"SELECT * FROM {wp.webpages_sql('documents')} w")
+        html = F.encode(
+            F.concat(F.lit("<html><body>"), F.col("page_text"),
+                     F.lit("</body></html>")), "utf-8")
+        return pages.select(
+            "url", "warc_ts", F.md5(html).alias("html_md5"),
+            F.md5("page_text").alias("text_md5"), "lang")
+    q["webpages_hint_schema"] = q_hint_schema
+
     def q_geoparse_dd(spark, sf_dir):
         _register(spark, sf_dir)
         pages = spark.sql(f"SELECT * FROM {wp.webpages_sql('documents')} w")
@@ -525,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_signatures"] = lambda s, d: td.minhash_signatures(_docs(s, d))
     q["minhash_lsh_pairs"] = lambda s, d: td.minhash_pairs(_docs(s, d))
     q["simhash"] = lambda s, d: td.simhash(_docs(s, d))
+    q["simhash_near_dup_pairs"] = \
+        lambda s, d: td.simhash_near_dup_pairs(_docs(s, d))
     q["ngram_jaccard_pairs"] = lambda s, d: td.ngram_jaccard_pairs(_docs(s, d))
     q["text_stats"] = lambda s, d: td.text_stats(_docs(s, d))
     q["lang_id"] = lambda s, d: td.lang_id(_docs(s, d))
@@ -763,7 +780,12 @@ _WINDOW_PRIORITY = [
     # new in r3
     "ann_ivf_nprobe_topk", "streaming_flagship_tiles",
     "shapefile_attrs_passthrough", "near_dup_components",
-    "host_cap_keep_first",
+    "host_cap_keep_first", "simhash_near_dup_pairs",
+    "webpages_hint_schema",
+    # simhash widened 16→60 bits in r3 (semantics changed → back in
+    # the driver window; minhash_signatures rotates out instead, its
+    # logic is embedded in minhash_lsh_pairs which stays in)
+    "simhash",
     # single-driver-row (r02 only) entries stay inside the window
     "geoparse_comma_decimal", "geoparse_symbol_dms",
     "geoparse_height_default", "geoparse_swapped_pair",
@@ -771,11 +793,10 @@ _WINDOW_PRIORITY = [
     "cli_reverse_t2", "shapefile_roundtrip_convert", "url_host_stats",
     "c4_quality_filter", "repetition_ratio", "near_dup_drop_list",
     # load-bearing / changed-path entries kept in the window
-    "minhash_lsh_pairs", "minhash_signatures", "dedup_exact",
+    "minhash_lsh_pairs", "dedup_exact",
     "tile_t3_cells", "tile_rollup_res5", "pip_join_municipalities",
     "pip_tile_agg", "knn_join_stations", "t3_gk_to_wgs84",
-    "webpages_text_passthrough", "aft_locate_triangle",
-    "geoid_bilinear", "tile_topk_applyinpandas",
+    "webpages_text_passthrough", "geoid_bilinear",
 ]
 
 
@@ -824,6 +845,10 @@ def oracle_sql() -> dict[str, str]:
         f"FROM {wp.webpages_sql('documents')} w")
 
     _pages = f"{wp.webpages_sql('documents')} w"
+    o["webpages_hint_schema"] = (
+        f"SELECT url, warc_ts, "
+        f"md5(concat('<html><body>', page_text, '</body></html>')) AS html_md5, "
+        f"md5(page_text) AS text_md5, lang FROM {_pages}")
     o["geoparse_decimal_degrees"] = (
         f"SELECT url, fi, la FROM {wp.geoparse_dd_sql(_pages)} g")
 
@@ -981,6 +1006,7 @@ GROUP BY lang
     o["minhash_lsh_pairs"] = (
         f"SELECT doc_a, doc_b, est_jaccard FROM {td.MINHASH_PAIRS_SQL} q")
     o["simhash"] = f"SELECT doc_id, simhash FROM {td.SIMHASH_SQL} q"
+    o["simhash_near_dup_pairs"] = td.simhash_near_dup_pairs_sql()
     o["ngram_jaccard_pairs"] = td.ngram_jaccard_sql()
     o["text_stats"] = td.text_stats_sql()
     o["lang_id"] = td.lang_id_sql()

@@ -216,7 +216,14 @@ MINHASH_PAIRS_SQL = f"""
 # SimHash (16-bit, token-count weighted)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+# 60 bits (= the hash60 width, fits bigint with headroom): wide enough
+# that the 4 × 15-bit LSH bands below are discriminative — a narrow
+# fingerprint (e.g. 16 bits → 4-bit bands, 16 distinct values) would
+# make the band self-join effectively all-pairs and the degenerate-
+# bucket cap would then DROP true near-dups.  r3 change; the simhash
+# query and its oracle derive from this one constant, so both engines
+# move together.
+SIMHASH_BITS = 60
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -246,6 +253,68 @@ SIMHASH_SQL = f"""
      CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) q2
    ) q3 GROUP BY doc_id, b
  ) q4 GROUP BY doc_id)
+"""
+
+
+SIMHASH_N_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_N_BANDS
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
+                           max_bucket: int = MAX_BUCKET,
+                           sh: DataFrame | None = None) -> DataFrame:
+    """SimHash Hamming-ball candidate pairs: band the fingerprint into
+    ``SIMHASH_N_BANDS`` equal bit slices and self-equi-join on
+    (band, band_val) — by pigeonhole, any pair within Hamming distance
+    ``SIMHASH_N_BANDS - 1`` (= 3 here) shares at least one untouched
+    band, so recall at the threshold is EXACT, not probabilistic.
+    Exact distance is then one codegen ``bit_count(xor)`` per candidate.
+    Same shape and degenerate-bucket cap as the MinHash banding — one
+    hash self-join, never all-pairs."""
+    if sh is None:
+        sh = simhash(docs)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_N_BANDS - 1))) \
+        .alias("band")
+    b = (sh.select("doc_id", "simhash", band)
+         .withColumn("band_val", F.expr(
+             f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {mask}")))
+    wb = Window.partitionBy("band", "band_val")
+    b = (b.withColumn("bsize", F.count("*").over(wb))
+         .filter(F.col("bsize") <= max_bucket).drop("bsize"))
+    return (b.alias("a")
+            .join(b.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.band_val") == F.col("b.band_val"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.bit_count(F.col("a.simhash")
+                                .bitwiseXOR(F.col("b.simhash")))
+                    .cast("int").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_dup_pairs_sql(max_hamming: int = 3,
+                               max_bucket: int = MAX_BUCKET) -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH b AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {SIMHASH_BAND_BITS})) & {mask} AS band_val
+  FROM {SIMHASH_SQL} sh
+  CROSS JOIN (SELECT unnest(range(0, {SIMHASH_N_BANDS})) AS band) g),
+bc AS (
+  SELECT doc_id, simhash, band, band_val FROM (
+    SELECT doc_id, simhash, band, band_val,
+           count(*) OVER (PARTITION BY band, band_val) AS bsize FROM b) q
+  WHERE bsize <= {max_bucket})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
+FROM bc a JOIN bc b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 

@@ -62,12 +62,28 @@ def _mention_exprs() -> dict[str, str]:
     return {"mention": mention}
 
 
+# deterministic crawl timestamp (BASELINE.json input_hint column
+# warc_ts) built by string assembly — the only timestamp construction
+# with identical syntax AND semantics in Spark SQL and DuckDB
+WARC_TS_SQL = ("cast(concat('2024-01-', "
+               "lpad(cast(1 + doc_id % 28 as string), 2, '0'), ' ', "
+               "lpad(cast(doc_id % 24 as string), 2, '0'), ':', "
+               "lpad(cast(doc_id % 60 as string), 2, '0'), ':00') "
+               "as timestamp)")
+
+
 def webpages_sql(documents: str = "documents") -> str:
     """Dialect-neutral SELECT producing the webpages table from the
-    ``documents`` view: (url, warc_ts, page_text, lang)."""
+    ``documents`` view: (url, warc_ts, doc_id, page_text, lang) — the
+    BASELINE.json input_hint shape (url, warc_ts, html, text, lang),
+    except the ``html: binary`` column, which is attached Spark-side
+    (operators/multimodal.html_binary) because binary ``encode`` has
+    different arity in the two dialects; the hint-shape fidelity query
+    (``webpages_hint_schema``) covers it end-to-end."""
     m = _mention_exprs()["mention"]
     return f"""
 (SELECT concat('https://example.si/page/', cast(doc_id as string)) AS url,
+        {WARC_TS_SQL} AS warc_ts,
         doc_id,
         concat(text, {m}) AS page_text,
         lang

@@ -9,7 +9,7 @@ measured run) immediately followed by one fresh local[4N] JVM, and the
 efficiency is computed per round from the paired times.  The median of
 per-round efficiencies is the headline number.
 
-Usage: python tools/scaling_interleaved.py [N] [mult] [rounds]
+Usage: python tools/scaling_interleaved.py [N] [mult] [rounds] [out_name]
 """
 
 from __future__ import annotations
@@ -76,8 +76,8 @@ def main() -> None:
         "max_efficiency": round(max(per_round), 3),
     }
     print(json.dumps(result))
-    (REPO / "BENCH" / "scaling_interleaved_r1.json").write_text(
-        json.dumps(result, indent=2))
+    out = sys.argv[4] if len(sys.argv) > 4 else "scaling_interleaved_r1.json"
+    (REPO / "BENCH" / out).write_text(json.dumps(result, indent=2))
 
 
 if __name__ == "__main__":

@@ -256,6 +256,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("page_text").alias("text_md5"), "lang")
     q["webpages_hint_schema"] = q_hint_schema
 
+    def q_extract(spark, sf_dir):
+        # north-rule per-row invariant, exercised in its real shape:
+        # html arrives as a BINARY column, text is extracted from it
+        # (decode -> markup strip) and must be byte-identical per url
+        # to the source text — md5-checked, with the flag visible.
+        _register(spark, sf_dir)
+        docs = mm.html_binary(spark.table("documents"))
+        extracted = F.regexp_extract(
+            F.decode("html", "utf-8"),
+            "(?s)^<html><body>(.*)</body></html>$", 1)
+        return (docs
+                .withColumn("extracted_md5", F.md5(extracted))
+                .withColumn("text_md5", F.md5("text"))
+                .select("doc_id", "text_md5", "extracted_md5",
+                        (F.col("extracted_md5") == F.col("text_md5"))
+                        .alias("byte_identical")))
+    q["html_text_extract"] = q_extract
+
     def q_geoparse_dd(spark, sf_dir):
         _register(spark, sf_dir)
         pages = spark.sql(f"SELECT * FROM {wp.webpages_sql('documents')} w")
@@ -579,6 +597,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ivf_nprobe_topk(spark.table("embeddings"), k=5, nprobe=3)
     q["ann_ivf_nprobe_topk"] = q_ivf_nprobe
 
+    def q_ivf_kmeans(spark, sf_dir):
+        # learned quantizer (Lloyd, fixed 3 iters, deterministic init):
+        # iterative + distributed-mean float ordering → rows-only
+        # driver check (documented exception class); exactness is
+        # pytest-asserted against a full NumPy replay.
+        _register(spark, sf_dir)
+        return sim.ivf_train_kmeans(spark.table("embeddings"), n_iter=3)
+    q["ann_ivf_train_kmeans"] = q_ivf_kmeans
+
     def q_cnd(spark, sf_dir):
         _register(spark, sf_dir)
         return sim.cosine_near_dup(spark.table("embeddings"),
@@ -781,7 +808,7 @@ _WINDOW_PRIORITY = [
     "ann_ivf_nprobe_topk", "streaming_flagship_tiles",
     "shapefile_attrs_passthrough", "near_dup_components",
     "host_cap_keep_first", "simhash_near_dup_pairs",
-    "webpages_hint_schema",
+    "webpages_hint_schema", "html_text_extract", "ann_ivf_train_kmeans",
     # simhash widened 16→60 bits in r3 (semantics changed → back in
     # the driver window; minhash_signatures rotates out instead, its
     # logic is embedded in minhash_lsh_pairs which stays in)
@@ -796,7 +823,6 @@ _WINDOW_PRIORITY = [
     "minhash_lsh_pairs", "dedup_exact",
     "tile_t3_cells", "tile_rollup_res5", "pip_join_municipalities",
     "pip_tile_agg", "knn_join_stations", "t3_gk_to_wgs84",
-    "webpages_text_passthrough", "geoid_bilinear",
 ]
 
 
@@ -851,6 +877,18 @@ def oracle_sql() -> dict[str, str]:
         f"md5(page_text) AS text_md5, lang FROM {_pages}")
     o["geoparse_decimal_degrees"] = (
         f"SELECT url, fi, la FROM {wp.geoparse_dd_sql(_pages)} g")
+
+    o["html_text_extract"] = r"""
+SELECT doc_id, text_md5, extracted_md5,
+       extracted_md5 = text_md5 AS byte_identical
+FROM (
+  SELECT doc_id, md5(text) AS text_md5,
+         md5(regexp_extract(decode(html),
+             '(?s)^<html><body>(.*)</body></html>$', 1)) AS extracted_md5
+  FROM (SELECT doc_id, text,
+               encode(concat('<html><body>', text, '</body></html>')) AS html
+        FROM documents) q1) q2
+"""
 
     o["geoparse_multi_mention"] = (
         f"SELECT url, mention_idx, fi, la FROM "

@@ -455,6 +455,71 @@ WHERE rk <= {k}
 """
 
 
+def _assign_udf_from(C: np.ndarray):
+    """Nearest-centroid assignment for an arbitrary centroid matrix
+    (same argmax x·c − ‖c‖²/2 form and fold order as ivf_cluster_udf,
+    which is the fixed-grid special case)."""
+    H = 0.5 * (C * C).sum(axis=1)
+    n_c, dim = C.shape
+
+    @pandas_udf("int")
+    def _udf(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        scores = np.empty((X.shape[0], n_c))
+        for c in range(n_c):
+            acc = C[c, 0] * X[:, 0]
+            for d in range(1, dim):
+                acc = acc + C[c, d] * X[:, d]
+            scores[:, c] = acc - H[c]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    return _udf
+
+
+def ivf_train_kmeans(emb: DataFrame, n_iter: int = 3):
+    """Learned coarse quantizer: Lloyd's k-means over the corpus with
+    DETERMINISTIC init (the fixed-grid centroids) and a FIXED iteration
+    count — the standard upgrade from the static IVF grid when the
+    embedding distribution is known.
+
+    Per iteration: one Arrow assignment pass (centroids live in the UDF
+    closure — 16×DIM floats, no broadcast table needed) and one
+    posexplode → groupBy(cluster, dim) mean for the update; the driver
+    collects only the 16×DIM centroid matrix between iterations (the
+    irreducible synchronization point of Lloyd's algorithm — same shape
+    at 10¹² rows).  Empty clusters keep their previous centroid.
+
+    Iterative + float-sum-order-dependent (distributed mean) → this is
+    the documented rows-only driver-check class (no SQL oracle); the
+    pytest asserts the full replay against NumPy.  Returns
+    (cluster, n_vecs, centroid) with centroids rounded to 9 dp."""
+    C = np.array([[centroid_coef(c, d) for d in range(DIM)]
+                  for c in range(N_CLUSTERS)])
+    assigned = None
+    for _ in range(n_iter):
+        assigned = emb.withColumn(
+            "cluster", _assign_udf_from(C)(F.col("embedding")))
+        stats = (assigned
+                 .select("cluster", F.posexplode("embedding").alias("d", "v"))
+                 .groupBy("cluster", "d")
+                 .agg(F.avg("v").alias("m"))
+                 .collect())  # ≤ N_CLUSTERS·DIM tiny rows
+        C = C.copy()
+        for r in stats:
+            C[r.cluster, r.d] = r.m
+    cent_lit = {c: F.array(*[F.lit(round(float(C[c, d]), 9))
+                             for d in range(DIM)])
+                for c in range(N_CLUSTERS)}
+    cent_col = F.lit(None).cast("array<double>")
+    for c in range(N_CLUSTERS - 1, -1, -1):
+        cent_col = F.when(F.col("cluster") == c, cent_lit[c]) \
+            .otherwise(cent_col)
+    return (assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n_vecs"))
+            .withColumn("centroid", cent_col)
+            .select("cluster", "n_vecs", "centroid"))
+
+
 def ivf_cluster_sizes(emb: DataFrame) -> DataFrame:
     """Quantizer balance diagnostic (skew in cell sizes is IVF's
     failure mode at scale — worth a first-class check)."""

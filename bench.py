@@ -117,6 +117,14 @@ def q_ann_ivf(spark, sf_dir):
     return sim.ivf_topk(spark.table("embeddings"), k=5)
 
 
+def q_ann_ivf_nprobe(spark, sf_dir):
+    return sim.ivf_nprobe_topk(spark.table("embeddings"), k=5, nprobe=3)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return td.simhash_near_dup_pairs(spark.table("documents"))
+
+
 def q_dedup(spark, sf_dir):
     return td.exact_dedup(spark.table("documents"))
 
@@ -132,6 +140,8 @@ BENCH_QUERIES = {
     "minhash_lsh_pairs": q_minhash,
     "ann_cosine_topk": q_ann,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_nprobe_topk": q_ann_ivf_nprobe,
+    "simhash_near_dup_pairs": q_simhash_pairs,
     "dedup_exact": q_dedup,
     "tpch_q1": q_tpch1,
 }

@@ -128,6 +128,22 @@ SHP_ATTR_SRC = ("(SELECT s_suppkey AS geom_id, "
                 "cast(s_suppkey * 37 % 100000 as bigint) AS pop "
                 "FROM supplier) q_a")
 
+# messy-URL table for canonical-URL dedup: groups of 4 consecutive
+# doc_ids share one logical page, crawled under scheme/host case
+# variants, an explicit default port, utm_* tracking params, and a
+# fragment — all of which canonicalization must collapse.
+MESSY_URL_SRC = (
+    "(SELECT doc_id, concat("
+    "case when doc_id % 4 = 0 then 'HTTPS' when doc_id % 4 = 2 then 'Https' "
+    "else 'https' end, "
+    "'://W', cast(cast(floor(doc_id / 4.0e0) as bigint) % 29 as string), "
+    "case when doc_id % 2 = 0 then '.Example.SI' else '.example.si' end, "
+    "case when doc_id % 4 = 0 then ':443' else '' end, "
+    "'/p/', cast(cast(floor(doc_id / 4.0e0) as bigint) as string), "
+    "case when doc_id % 4 = 1 then '?utm_source=feed&utm_medium=rss' "
+    "when doc_id % 4 = 2 then '#sec2' else '' end) AS url "
+    "FROM documents) q_u")
+
 # host-varied URL table for the per-host grouping primitive (the
 # webpages fixture keeps one host; CC pipelines cap/dedup per host)
 HOST_SRC = ("(SELECT concat('https://w', cast(doc_id % 53 as string), "
@@ -555,6 +571,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _register(spark, sf_dir)
         return td.host_cap_keep_first(spark.sql(f"SELECT * FROM {HOST_SRC}"))
     q["host_cap_keep_first"] = q_host_cap
+
+    def q_url_norm(spark, sf_dir):
+        _register(spark, sf_dir)
+        return td.url_normalize_dedup(
+            spark.sql(f"SELECT * FROM {MESSY_URL_SRC}"))
+    q["url_normalize_dedup"] = q_url_norm
     q["minhash_signatures"] = lambda s, d: td.minhash_signatures(_docs(s, d))
     q["minhash_lsh_pairs"] = lambda s, d: td.minhash_pairs(_docs(s, d))
     q["simhash"] = lambda s, d: td.simhash(_docs(s, d))
@@ -809,6 +831,7 @@ _WINDOW_PRIORITY = [
     "shapefile_attrs_passthrough", "near_dup_components",
     "host_cap_keep_first", "simhash_near_dup_pairs",
     "webpages_hint_schema", "html_text_extract", "ann_ivf_train_kmeans",
+    "url_normalize_dedup",
     # simhash widened 16→60 bits in r3 (semantics changed → back in
     # the driver window; minhash_signatures rotates out instead, its
     # logic is embedded in minhash_lsh_pairs which stays in)
@@ -822,7 +845,7 @@ _WINDOW_PRIORITY = [
     # load-bearing / changed-path entries kept in the window
     "minhash_lsh_pairs", "dedup_exact",
     "tile_t3_cells", "tile_rollup_res5", "pip_join_municipalities",
-    "pip_tile_agg", "knn_join_stations", "t3_gk_to_wgs84",
+    "pip_tile_agg", "knn_join_stations",
 ]
 
 
@@ -1040,6 +1063,7 @@ GROUP BY lang
     o["near_dup_drop_list"] = td.near_dup_drop_list_sql()
     o["near_dup_components"] = td.near_dup_components_sql()
     o["host_cap_keep_first"] = td.host_cap_keep_first_sql(HOST_SRC)
+    o["url_normalize_dedup"] = td.url_normalize_dedup_sql(MESSY_URL_SRC)
     o["minhash_signatures"] = f"SELECT doc_id, perm, sig FROM {td.MINHASH_SIG_SQL} q"
     o["minhash_lsh_pairs"] = (
         f"SELECT doc_a, doc_b, est_jaccard FROM {td.MINHASH_PAIRS_SQL} q")

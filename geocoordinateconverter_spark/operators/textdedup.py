@@ -879,6 +879,57 @@ FROM reach GROUP BY a
 """
 
 
+# canonical-URL pieces (shared Java-regex/RE2 subset): scheme, host
+# (lowercased, default port stripped), rest with fragment + utm_*
+# tracking params removed
+RE_SCHEME = "^([A-Za-z]+)://"
+RE_HOSTPORT = "^[A-Za-z]+://([^/]+)"
+RE_REST = "^[A-Za-z]+://[^/]+(.*)$"
+
+
+def _canon_url_expr(url_col: str) -> F.Column:
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")          # fragment
+    u = F.regexp_replace(u, "utm_[a-z]+=[^&#]*&?", "")        # tracking
+    u = F.regexp_replace(u, "[?&]$", "")                      # dangling sep
+    scheme = F.lower(F.regexp_extract(u, RE_SCHEME, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, RE_HOSTPORT, 1)), ":(443|80)$", "")
+    rest = F.regexp_extract(u, RE_REST, 1)
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def url_normalize_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical-URL dedup (CC curation: the same page crawled under
+    scheme/host case variants, default ports, fragments, and utm_*
+    tracking params must collapse to ONE canonical key): normalize in
+    pure codegen, then one hash-shuffle groupBy — keep = min doc_id."""
+    return (pages.withColumn("canon_url", _canon_url_expr(url_col))
+            .groupBy("canon_url")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_doc")))
+
+
+def url_normalize_dedup_sql(src: str) -> str:
+    canon = (
+        "concat(lower(regexp_extract(u2, '^([A-Za-z]+)://', 1)), '://', "
+        "regexp_replace(lower(regexp_extract(u2, '^[A-Za-z]+://([^/]+)', 1)), "
+        "':(443|80)$', ''), "
+        "regexp_extract(u2, '^[A-Za-z]+://[^/]+(.*)$', 1))")
+    # NB the 'g' flags: DuckDB regexp_replace is first-match-only by
+    # default, Spark's replaces ALL — 'g' aligns them (several utm
+    # params per URL must all go)
+    return f"""
+SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keep_doc FROM (
+  SELECT {canon} AS canon_url, doc_id FROM (
+    SELECT regexp_replace(regexp_replace(regexp_replace(url,
+             '#.*$', '', 'g'), 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+             '[?&]$', '', 'g') AS u2,
+           doc_id
+    FROM {src}) q1) q2
+GROUP BY canon_url
+"""
+
+
 def host_cap_keep_first(pages: DataFrame, cap: int = 5,
                         url_col: str = "url") -> DataFrame:
     """Per-host document cap (CC pipelines bound any single host's

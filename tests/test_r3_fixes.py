@@ -62,6 +62,32 @@ def test_dbf_nonascii_byte_width(tmp_path):
     assert got == rows
 
 
+def test_dbf_roundtrip_property(tmp_path):
+    """Property: any (string, int) row whose encoded widths fit the
+    declared field widths round-trips exactly — including multi-byte
+    UTF-8, which exercises the byte-level padding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # printable, no leading/trailing spaces (DBF pads with spaces and
+    # read strips), byte-width bounded
+    name_st = st.text(
+        alphabet=st.characters(codec="utf-8", categories=("L", "N", "P")),
+        min_size=1, max_size=8,
+    ).filter(lambda s: 1 <= len(s.encode()) <= 20 and s == s.strip())
+    row_st = st.tuples(name_st, st.integers(min_value=0, max_value=10**17))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(row_st, min_size=1, max_size=5))
+    def check(rows):
+        path = str(tmp_path / "prop.dbf")
+        shp.write_dbf(path, [("NAME", "C", 20), ("VAL", "N", 18)], rows)
+        _, got = shp.read_dbf(path)
+        assert got == rows
+
+    check()
+
+
 def test_dbf_overflow_raises(tmp_path):
     path = str(tmp_path / "bad.dbf")
     with pytest.raises(ValueError, match="exceeds declared width"):

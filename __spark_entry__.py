@@ -781,6 +781,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sw.windowed_event_agg(spark.table("events"))
     q["events_window_agg"] = q_evwin
 
+    # ---- r3 wave 2: previously pytest-only paths under the gate ----------
+    def q_salted(spark, sf_dir):
+        # exact per-cell distinct via explicit (cell, salt) two-stage —
+        # the Ljubljana-hot-cell treatment, now oracle-checked (salt
+        # partitions a hash of the key, so per-salt distinct sets are
+        # disjoint and their sum is exact)
+        from geocoordinateconverter_spark.operators import tiles as tiles_op
+        _register(spark, sf_dir)
+        w = sg.wgs_points_sql("k")
+        pts = spark.sql(
+            f"SELECT k, cast(floor(k / 8.0e0) as bigint) AS okey, "
+            f"{w['fi']} AS fi, {w['la']} AS la "
+            f"FROM (SELECT {LKEY} AS k FROM lineitem) q_k")
+        return tiles_op.salted_tile_agg(pts, key="okey", res=7, n_salt=8)
+    q["salted_tile_agg_exact"] = q_salted
+
+    def q_ckpt_gate(spark, sf_dir):
+        # crash-injected checkpointed write + resume, then read the
+        # committed table back — the resumability invariant (recovered
+        # table ≡ source) under the DRIVER gate, not just pytest
+        import tempfile
+
+        from geocoordinateconverter_spark.operators import checkpoint as cp
+        _register(spark, sf_dir)
+        df = spark.table("documents").select("doc_id", "text")
+        out = tempfile.mkdtemp(prefix="ckpt_gate_") + "/out"
+        try:
+            cp.checkpointed_write(df, out, key="doc_id", n_buckets=8,
+                                  fail_after_bucket=3)
+        except RuntimeError:
+            pass  # the injected mid-job crash
+        cp.checkpointed_write(df, out, key="doc_id", n_buckets=8)  # resume
+        back = cp.read_checkpointed(spark, out)
+        return back.select("doc_id", F.md5("text").alias("text_md5"))
+    q["checkpoint_resume_roundtrip"] = q_ckpt_gate
+
+    def q_win_analytics(spark, sf_dir):
+        _register(spark, sf_dir)
+        e = spark.table("events")
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").asc(), F.col("event_id").asc())
+        return e.select(
+            "event_id", "event_type",
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 9).alias("cdist"),
+            F.round(F.percent_rank().over(w), 9).alias("prank"))
+    q["window_analytics"] = q_win_analytics
+
+    def q_tpch_q3(spark, sf_dir):
+        _register(spark, sf_dir)
+        c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = spark.table("orders").filter(F.col("o_orderdate") < "1995-03-15")
+        li = spark.table("lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+        rev = (c.join(o, c.c_custkey == o.o_custkey)
+               .join(li, o.o_orderkey == li.l_orderkey)
+               .groupBy("l_orderkey", "o_orderdate")
+               .agg(F.round(F.sum(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue")))
+        w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        return (rev.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 10)
+                .select("l_orderkey", "o_orderdate", "revenue", "rk"))
+    q["tpch_q3_shipping"] = q_tpch_q3
+
+    def q_ann_recall(spark, sf_dir):
+        # self-measuring quality diagnostic: recall@5 of each ANN scale
+        # path vs the exact brute-force top-5, per method
+        _register(spark, sf_dir)
+        emb = spark.table("embeddings")
+        exact = sim.brute_force_topk(emb, k=5).select("q_id", "vec_id")
+        nq = exact.select("q_id").distinct().count()  # tiny scalar
+        parts = []
+        for m, df in (("lsh", sim.lsh_topk(emb, k=5)),
+                      ("ivf", sim.ivf_topk(emb, k=5)),
+                      ("ivf_nprobe", sim.ivf_nprobe_topk(emb, k=5, nprobe=3))):
+            hits = (df.select("q_id", "vec_id")
+                    .join(exact, ["q_id", "vec_id"])
+                    .agg(F.count("*").alias("n_hits"))
+                    .select(F.lit(m).alias("method"), "n_hits",
+                            F.round(F.col("n_hits")
+                                    / F.lit(float(5 * nq)), 9)
+                            .alias("recall_at_5")))
+            parts.append(hits)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    q["ann_recall_report"] = q_ann_recall
+
     def q_stream_flagship(spark, sf_dir):
         # streaming lineage under the DRIVER gate (VERDICT r2 #6): the
         # flagship geoparse→t3→tile pipeline runs through readStream +
@@ -831,7 +922,9 @@ _WINDOW_PRIORITY = [
     "shapefile_attrs_passthrough", "near_dup_components",
     "host_cap_keep_first", "simhash_near_dup_pairs",
     "webpages_hint_schema", "html_text_extract", "ann_ivf_train_kmeans",
-    "url_normalize_dedup",
+    "url_normalize_dedup", "salted_tile_agg_exact",
+    "checkpoint_resume_roundtrip", "window_analytics", "tpch_q3_shipping",
+    "ann_recall_report",
     # simhash widened 16→60 bits in r3 (semantics changed → back in
     # the driver window; minhash_signatures rotates out instead, its
     # logic is embedded in minhash_lsh_pairs which stays in)
@@ -842,10 +935,9 @@ _WINDOW_PRIORITY = [
     "height_mode_override_t3_hg", "selftest_golden_chains",
     "cli_reverse_t2", "shapefile_roundtrip_convert", "url_host_stats",
     "c4_quality_filter", "repetition_ratio", "near_dup_drop_list",
-    # load-bearing / changed-path entries kept in the window
-    "minhash_lsh_pairs", "dedup_exact",
-    "tile_t3_cells", "tile_rollup_res5", "pip_join_municipalities",
-    "pip_tile_agg", "knn_join_stations",
+    # load-bearing entries kept in the window (everything dropped from
+    # this list over r3 has TWO driver-green rows, r01 + r02)
+    "tile_t3_cells", "pip_join_municipalities",
 ]
 
 
@@ -1197,6 +1289,60 @@ SELECT event_type, quantile_cont(value, 0.25) AS p25,
 FROM events GROUP BY event_type
 """
     o["events_window_agg"] = sw.WINDOWED_EVENT_AGG_SQL
+
+    # ---- r3 wave 2 -----------------------------------------------------
+    from geocoordinateconverter_spark import cells as _c3
+    _w3 = sg.wgs_points_sql("k")
+    o["salted_tile_agg_exact"] = f"""
+SELECT cell, count(*) AS n_pts, count(DISTINCT okey) AS n_distinct FROM (
+  SELECT {_c3.encode_sql('fi', 'la', 7)} AS cell, okey FROM (
+    SELECT k, cast(floor(k / 8.0e0) as bigint) AS okey,
+           {_w3['fi']} AS fi, {_w3['la']} AS la
+    FROM (SELECT {LKEY} AS k FROM lineitem) q_k) q_p) q_c
+GROUP BY cell
+"""
+
+    o["checkpoint_resume_roundtrip"] = (
+        "SELECT doc_id, md5(text) AS text_md5 FROM documents")
+
+    o["window_analytics"] = """
+SELECT event_id, event_type,
+       cast(dense_rank() OVER w as int) AS drk,
+       cast(ntile(4) OVER w as int) AS quartile,
+       round(cume_dist() OVER w, 9) AS cdist,
+       round(percent_rank() OVER w, 9) AS prank
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+    o["tpch_q3_shipping"] = """
+SELECT l_orderkey, o_orderdate, revenue, cast(rk as int) AS rk FROM (
+  SELECT l_orderkey, o_orderdate, revenue,
+         row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk
+  FROM (SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate) q1) q2
+WHERE rk <= 10
+"""
+
+    _bf5 = sim.brute_force_topk_sql(k=5)
+    _recall_arms = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, count(*) AS n_hits "
+        f"FROM ({s}) a JOIN bf ON a.q_id = bf.q_id AND a.vec_id = bf.vec_id"
+        for m, s in (("lsh", sim.lsh_topk_sql(k=5)),
+                     ("ivf", sim.ivf_topk_sql(k=5)),
+                     ("ivf_nprobe", sim.ivf_nprobe_topk_sql(k=5, nprobe=3))))
+    o["ann_recall_report"] = f"""
+WITH bf AS (SELECT q_id, vec_id FROM ({_bf5}) qb),
+nq AS (SELECT count(DISTINCT q_id) AS n FROM bf)
+SELECT method, n_hits,
+       round(n_hits / (5.0e0 * n), 9) AS recall_at_5
+FROM ({_recall_arms}) q CROSS JOIN nq
+"""
 
     # ---- r3 additions ---------------------------------------------------
     o["ann_ivf_nprobe_topk"] = sim.ivf_nprobe_topk_sql(k=5, nprobe=3)

@@ -505,6 +505,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_rejected")))
     q["geoparse_reject_stats"] = q_parse_rejects
 
+    # ---- spatial measures: shoelace area/centroid, haversine -------------
+    def q_area(spark, sf_dir):
+        from geocoordinateconverter_spark.operators import geometry as geom
+        _register(spark, sf_dir)
+        verts = spark.sql(f"SELECT geom_id, vid, x, y FROM {SHP_VERT_SRC}")
+        return geom.polygon_area_centroid(verts, n_verts=5)
+    q["polygon_area_centroid"] = q_area
+
+    def q_haversine(spark, sf_dir):
+        _register(spark, sf_dir)
+        src = spark.sql(f"SELECT * FROM {_src_wgs('o_orderkey', 'orders')} "
+                        f"WHERE k % 5 = 0")
+        fi0, la0 = 46.0569, 14.5058  # Ljubljana reference point
+        dphi2 = (F.radians(F.col("fi")) - F.radians(F.lit(fi0))) / 2.0
+        dlam2 = (F.radians(F.col("la")) - F.radians(F.lit(la0))) / 2.0
+        h = (F.sin(dphi2) * F.sin(dphi2)
+             + F.cos(F.radians(F.lit(fi0))) * F.cos(F.radians(F.col("fi")))
+             * F.sin(dlam2) * F.sin(dlam2))
+        dist = 2.0 * 6371000.0 * F.asin(F.sqrt(h))
+        return src.select("k", F.round(dist, 4).alias("dist_m"))
+    q["haversine_to_ljubljana"] = q_haversine
+
     # ---- S5/S6: gk-shp analogue — WKT vertex-array conversion ------------
     def q_geom(spark, sf_dir):
         _register(spark, sf_dir)
@@ -924,7 +946,7 @@ _WINDOW_PRIORITY = [
     "webpages_hint_schema", "html_text_extract", "ann_ivf_train_kmeans",
     "url_normalize_dedup", "salted_tile_agg_exact",
     "checkpoint_resume_roundtrip", "window_analytics", "tpch_q3_shipping",
-    "ann_recall_report",
+    "ann_recall_report", "polygon_area_centroid", "haversine_to_ljubljana",
     # simhash widened 16→60 bits in r3 (semantics changed → back in
     # the driver window; minhash_signatures rotates out instead, its
     # logic is embedded in minhash_lsh_pairs which stays in)
@@ -935,10 +957,10 @@ _WINDOW_PRIORITY = [
     "height_mode_override_t3_hg", "selftest_golden_chains",
     "cli_reverse_t2", "shapefile_roundtrip_convert", "url_host_stats",
     "c4_quality_filter", "repetition_ratio", "near_dup_drop_list",
-    # load-bearing entries kept in the window (everything dropped from
-    # this list over r3 has TWO driver-green rows, r01 + r02)
-    "tile_t3_cells", "pip_join_municipalities",
 ]
+# (every r01/r02-era entry displaced from the 50-slot window during r3
+# has TWO driver-green rows, r01 + r02, and remains covered by
+# tools/local_verify.py + pytest)
 
 
 def _windowed(q: dict) -> dict:
@@ -1138,6 +1160,22 @@ GROUP BY lang
     from geocoordinateconverter_spark.operators import geometry as _geom
     o["geometry_wkt_convert"] = _geom.convert_geometry_oracle_sql(
         f"{GEOM_SRC} g", sg.t5_sql)
+
+    # bare (un-aliased) vertex subquery for the self-joining oracle
+    _vert_bare = SHP_VERT_SRC.rsplit(" q_v", 1)[0]
+    o["polygon_area_centroid"] = _geom.polygon_area_centroid_sql(
+        _vert_bare, n_verts=5)
+
+    _hav = (
+        "2.0e0 * 6371000.0e0 * asin(sqrt("
+        "sin((radians(fi) - radians(46.0569e0)) / 2.0e0) "
+        "* sin((radians(fi) - radians(46.0569e0)) / 2.0e0) "
+        "+ cos(radians(46.0569e0)) * cos(radians(fi)) "
+        "* sin((radians(la) - radians(14.5058e0)) / 2.0e0) "
+        "* sin((radians(la) - radians(14.5058e0)) / 2.0e0)))")
+    o["haversine_to_ljubljana"] = (
+        f"SELECT k, round({_hav}, 4) AS dist_m "
+        f"FROM {_src_wgs('o_orderkey', 'orders')} WHERE k % 5 = 0")
 
     o["coord_pair_classify"] = (
         f"SELECT k, kind, a1, a2 "

@@ -61,6 +61,65 @@ def convert_geometry(df: DataFrame, t: int = 9, geom_id: str = "geom_id",
         .alias("wkt_out"))
 
 
+def polygon_area_centroid(verts: DataFrame, n_verts: int,
+                          geom_id: str = "geom_id", vid: str = "vid",
+                          x: str = "x", y: str = "y") -> DataFrame:
+    """Shoelace area + centroid per polygon from a vertex table (the
+    standard per-geometry measures a tiling engine reports next to
+    converted geometry).
+
+    DETERMINISTIC form: vertices are pivoted to columns (max-of-one
+    per (geom, vid) — exact), then area/centroid are a single fixed
+    left-associated codegen expression, so the float operation order is
+    identical on every run AND identical to the SQL oracle (a
+    groupBy-sum of edge terms reorders float adds with the partition
+    layout — measured 1-in-100 last-digit flips at 3 dp).  Signed area:
+    positive = counter-clockwise."""
+    piv = verts.groupBy(geom_id).agg(
+        *[F.max(F.when(F.col(vid) == i, F.col(c))).alias(f"{c}{i}")
+          for i in range(n_verts) for c in (x, y)])
+    cross = [F.col(f"{x}{i}") * F.col(f"{y}{(i + 1) % n_verts}")
+             - F.col(f"{x}{(i + 1) % n_verts}") * F.col(f"{y}{i}")
+             for i in range(n_verts)]
+    s2 = cross[0]
+    sx = (F.col(f"{x}0") + F.col(f"{x}{1 % n_verts}")) * cross[0]
+    sy = (F.col(f"{y}0") + F.col(f"{y}{1 % n_verts}")) * cross[0]
+    for i in range(1, n_verts):
+        j = (i + 1) % n_verts
+        s2 = s2 + cross[i]
+        sx = sx + (F.col(f"{x}{i}") + F.col(f"{x}{j}")) * cross[i]
+        sy = sy + (F.col(f"{y}{i}") + F.col(f"{y}{j}")) * cross[i]
+    return piv.select(
+        F.col(geom_id),
+        F.round(s2 / 2.0, 3).alias("area"),
+        F.round(sx / (3.0 * s2), 3).alias("cx"),
+        F.round(sy / (3.0 * s2), 3).alias("cy"))
+
+
+def polygon_area_centroid_sql(src: str, n_verts: int) -> str:
+    """DuckDB twin over the same bare vertex subquery (geom_id, vid,
+    x, y) — same pivot, same left-associated term order."""
+    piv_cols = ", ".join(
+        f"max(case when vid = {i} then {c} end) AS {c}{i}"
+        for i in range(n_verts) for c in ("x", "y"))
+
+    def cr(i: int) -> str:
+        j = (i + 1) % n_verts
+        return f"(x{i} * y{j} - x{j} * y{i})"
+
+    s2 = " + ".join(cr(i) for i in range(n_verts))
+    sx = " + ".join(f"(x{i} + x{(i + 1) % n_verts}) * {cr(i)}"
+                    for i in range(n_verts))
+    sy = " + ".join(f"(y{i} + y{(i + 1) % n_verts}) * {cr(i)}"
+                    for i in range(n_verts))
+    return f"""
+SELECT geom_id, round(({s2}) / 2.0e0, 3) AS area,
+       round(({sx}) / (3.0e0 * ({s2})), 3) AS cx,
+       round(({sy}) / (3.0e0 * ({s2})), 3) AS cy
+FROM (SELECT geom_id, {piv_cols} FROM {src} q_av GROUP BY geom_id) q_piv
+"""
+
+
 def convert_geometry_oracle_sql(src: str, t_sql_fn, geom_id: str = "geom_id",
                                 geom_type: str = "POLYGON",
                                 fmt: str = "%.3f %.3f",

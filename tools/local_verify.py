@@ -10,6 +10,7 @@ sorted, exact match after canonicalization).  Usage:
 
 from __future__ import annotations
 
+import gc
 import sys
 import time
 from pathlib import Path
@@ -65,10 +66,20 @@ def main() -> int:
     only = [a for a in sys.argv[1:] if "/" not in a]
 
     spark = build_session("local-verify", cores=8, shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in entrymod.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    def fresh_con():
+        # Fresh connection per query with an explicit cap: DuckDB's
+        # default memory_limit is 80 % of RAM and its buffer pool can
+        # pin allocations across queries — an 87-query sweep through
+        # one connection exhausted the box (observed: every later
+        # query, BOTH engines, failing 16 KB mallocs).
+        c = duckdb.connect()
+        c.execute("SET memory_limit='16GB'")
+        c.execute("SET threads TO 8")
+        for t in entrymod.TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                      f"read_parquet('{sf_dir}/{t}.parquet')")
+        return c
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -89,7 +100,11 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            odf = con.execute(oracles[name]).df()
+            con = fresh_con()
+            try:
+                odf = con.execute(oracles[name]).df()
+            finally:
+                con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             n_fail += 1
@@ -101,6 +116,11 @@ def main() -> int:
         else:
             print(f"pass {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
+        # per-query hygiene: drop explicit Spark caches (minhash band
+        # tables etc. stack per query) and large pandas frames
+        del sdf, odf
+        spark.catalog.clearCache()
+        gc.collect()
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
 

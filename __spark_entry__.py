@@ -869,6 +869,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("l_orderkey", "o_orderdate", "revenue", "rk"))
     q["tpch_q3_shipping"] = q_tpch_q3
 
+    def q_pivot(spark, sf_dir):
+        # relational pivot: one row per user, one count column per
+        # event type (explicit value list → static schema, the scale-
+        # safe form; Spark pivots via two-phase agg, oracle via
+        # conditional aggregation)
+        _register(spark, sf_dir)
+        kinds = ["click", "error", "purchase", "signup", "view"]
+        return (spark.table("events")
+                .groupBy("user_id")
+                .pivot("event_type", kinds)
+                .count().na.fill(0, kinds)
+                .select("user_id", *[F.col(k).alias(f"n_{k}")
+                                     for k in kinds]))
+    q["pivot_events_by_type"] = q_pivot
+
     def q_ann_recall(spark, sf_dir):
         # self-measuring quality diagnostic: recall@5 of each ANN scale
         # path vs the exact brute-force top-5, per method
@@ -955,8 +970,9 @@ _WINDOW_PRIORITY = [
     "geoparse_comma_decimal", "geoparse_symbol_dms",
     "geoparse_height_default", "geoparse_swapped_pair",
     "height_mode_override_t3_hg", "selftest_golden_chains",
-    "cli_reverse_t2", "shapefile_roundtrip_convert", "url_host_stats",
+    "cli_reverse_t2", "shapefile_roundtrip_convert",
     "c4_quality_filter", "repetition_ratio", "near_dup_drop_list",
+    "pivot_events_by_type",
 ]
 # (every r01/r02-era entry displaced from the 50-slot window during r3
 # has TWO driver-green rows, r01 + r02, and remains covered by
@@ -1366,6 +1382,13 @@ SELECT l_orderkey, o_orderdate, revenue, cast(rk as int) AS rk FROM (
         GROUP BY l_orderkey, o_orderdate) q1) q2
 WHERE rk <= 10
 """
+
+    _kinds = ["click", "error", "purchase", "signup", "view"]
+    _piv_cols = ", ".join(
+        f"cast(sum(case when event_type = '{k}' then 1 else 0 end) "
+        f"as bigint) AS n_{k}" for k in _kinds)
+    o["pivot_events_by_type"] = (
+        f"SELECT user_id, {_piv_cols} FROM events GROUP BY user_id")
 
     _bf5 = sim.brute_force_topk_sql(k=5)
     _recall_arms = " UNION ALL ".join(

@@ -89,11 +89,21 @@ def polygon_area_centroid(verts: DataFrame, n_verts: int,
         s2 = s2 + cross[i]
         sx = sx + (F.col(f"{x}{i}") + F.col(f"{x}{j}")) * cross[i]
         sy = sy + (F.col(f"{y}{i}") + F.col(f"{y}{j}")) * cross[i]
+    # degenerate (self-cancelling) polygons have signed area exactly 0
+    # → centroid undefined: emit NULL, matching DuckDB's NULL-on-/0
+    # double semantics, instead of an ANSI DIVIDE_BY_ZERO crash
+    # (found by the sf0.1 sweep — one pentagon in 1000 cancels exactly).
+    # Outputs are RAW doubles: the fixed expression tree is bit-
+    # identical in both engines, and round() is NOT (Java rounds the
+    # shortest decimal repr HALF_UP, C rounds the exact binary —
+    # measured one 3-dp flip in 1000 at sf0.1), so rounding would
+    # INTRODUCE divergence rather than absorb any.
+    cx = F.when(s2 != 0.0, sx / (3.0 * s2))
+    cy = F.when(s2 != 0.0, sy / (3.0 * s2))
     return piv.select(
         F.col(geom_id),
-        F.round(s2 / 2.0, 3).alias("area"),
-        F.round(sx / (3.0 * s2), 3).alias("cx"),
-        F.round(sy / (3.0 * s2), 3).alias("cy"))
+        (s2 / 2.0).alias("area"),
+        cx.alias("cx"), cy.alias("cy"))
 
 
 def polygon_area_centroid_sql(src: str, n_verts: int) -> str:
@@ -113,9 +123,11 @@ def polygon_area_centroid_sql(src: str, n_verts: int) -> str:
     sy = " + ".join(f"(y{i} + y{(i + 1) % n_verts}) * {cr(i)}"
                     for i in range(n_verts))
     return f"""
-SELECT geom_id, round(({s2}) / 2.0e0, 3) AS area,
-       round(({sx}) / (3.0e0 * ({s2})), 3) AS cx,
-       round(({sy}) / (3.0e0 * ({s2})), 3) AS cy
+SELECT geom_id, ({s2}) / 2.0e0 AS area,
+       case when ({s2}) <> 0.0e0
+            then ({sx}) / (3.0e0 * ({s2})) end AS cx,
+       case when ({s2}) <> 0.0e0
+            then ({sy}) / (3.0e0 * ({s2})) end AS cy
 FROM (SELECT geom_id, {piv_cols} FROM {src} q_av GROUP BY geom_id) q_piv
 """
 

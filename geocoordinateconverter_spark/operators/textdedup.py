@@ -838,6 +838,7 @@ def near_dup_components(docs: DataFrame, est_threshold: float = 0.7,
     labels = (edges.select("src").distinct()
               .select(F.col("src").alias("doc_id"),
                       F.col("src").alias("label")))
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.dst == labels.doc_id)
                    .groupBy("src").agg(F.min("label").alias("nbr_label")))
@@ -855,6 +856,15 @@ def near_dup_components(docs: DataFrame, est_threshold: float = 0.7,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # non-converged labels would silently poison dedup downstream —
+        # fail loudly instead (a component diameter > max_iter means
+        # this data wants the large-star/small-star variant)
+        raise RuntimeError(
+            f"near_dup_components: not converged after {max_iter} rounds "
+            f"({changed} labels still changing); component diameter "
+            f"exceeds max_iter — raise max_iter or switch to the "
+            f"large-star/small-star step")
     return labels.select(
         "doc_id", F.col("label").alias("component"),
         (F.col("doc_id") == F.col("label")).alias("is_kept"))

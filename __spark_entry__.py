@@ -642,12 +642,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_nprobe_topk"] = q_ivf_nprobe
 
     def q_ivf_kmeans(spark, sf_dir):
-        # learned quantizer (Lloyd, fixed 3 iters, deterministic init):
-        # iterative + distributed-mean float ordering → rows-only
-        # driver check (documented exception class); exactness is
-        # pytest-asserted against a full NumPy replay.
+        # learned quantizer — FIXED-POINT Lloyd (r4): all sums/means
+        # exact int64 on a 2^24 grid → shuffle-order-invariant, so the
+        # 3-iteration training carries a full value-hash oracle (the
+        # float variant above it is kept as the research path with a
+        # NumPy-replay pytest).  Scalar output columns
+        # (cluster, n_vecs, d, centroid) — driver-canonicalizable.
         _register(spark, sf_dir)
-        return sim.ivf_train_kmeans(spark.table("embeddings"), n_iter=3)
+        return sim.ivf_train_kmeans_exact(spark.table("embeddings"), n_iter=3)
     q["ann_ivf_train_kmeans"] = q_ivf_kmeans
 
     def q_cnd(spark, sf_dir):
@@ -1407,6 +1409,7 @@ FROM ({_recall_arms}) q CROSS JOIN nq
 
     # ---- r3 additions ---------------------------------------------------
     o["ann_ivf_nprobe_topk"] = sim.ivf_nprobe_topk_sql(k=5, nprobe=3)
+    o["ann_ivf_train_kmeans"] = sim.ivf_train_kmeans_exact_sql(n_iter=3)
 
     o["shapefile_attrs_passthrough"] = (
         f"SELECT q_v.geom_id AS geom_id, q_v.vid AS vid, q_v.x AS x, "

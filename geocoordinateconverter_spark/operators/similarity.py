@@ -520,6 +520,180 @@ def ivf_train_kmeans(emb: DataFrame, n_iter: int = 3):
             .select("cluster", "n_vecs", "centroid"))
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point Lloyd (r4): the driver-gateable k-means.  The float
+# trainer above is correct but its distributed mean is summation-order
+# dependent, so its output cannot carry a value-hash oracle (and a
+# rows-only gate cannot even canonicalize an array column —
+# CORRECTNESS_r03's one red row).  The fix is not cosmetic reshaping
+# but an algorithmic one that is *better at scale*: quantize vectors
+# AND centroids to a 2^24 integer grid so every dot product, partial
+# sum, and mean-update is exact int64 arithmetic.  Exact integer sums
+# are associative+commutative → the training result is invariant to
+# shuffle order, partition count, AQE re-plans, and cluster size
+# (N vs 4N executors produce bit-identical models — the reproducibility
+# the north rule demands of join outputs, extended to learned state).
+# Quantization error is 2^-25 per component — 6 decimal orders below
+# any Voronoi margin that matters for a coarse quantizer.
+# ---------------------------------------------------------------------------
+
+KM_BITS = 24
+KM_SCALE = 1 << KM_BITS  # 16777216
+
+
+def _qfloor(x: float) -> int:
+    """round-half-up quantization, floor(x·S + ½) — both engines
+    evaluate this identically (x·2^24 is a power-of-two scale and the
+    +0.5 is exactly representable below 2^52)."""
+    import math
+    return math.floor(x * KM_SCALE + 0.5)
+
+
+def _assign_q_udf(Cq: np.ndarray):
+    """Exact nearest-centroid assignment on the integer grid.
+
+    argmin_c ‖v−c‖² == argmax_c (2·v·c − ‖c‖²) — all int64, exact
+    (|score| < 2^55 for unit-range embeddings at DIM=64), ties broken
+    to the lowest cluster id (np.argmax first-max == the oracle's
+    ORDER BY score DESC, cluster ASC)."""
+    ss = (Cq.astype(np.int64) ** 2).sum(axis=1)
+
+    @pandas_udf("int")
+    def _udf(q: pd.Series) -> pd.Series:
+        X = np.stack(q.to_numpy()).astype(np.int64)
+        score = 2 * (X @ Cq.T.astype(np.int64)) - ss
+        return pd.Series(score.argmax(axis=1).astype(np.int32))
+
+    return _udf
+
+
+def _vq_expr(col: str = "embedding") -> Column:
+    return F.expr(
+        f"transform({col}, v -> cast(floor(cast(v as double) * "
+        f"{KM_SCALE}.0D + 0.5D) as bigint))")
+
+
+def kmeans_init_q() -> np.ndarray:
+    """Deterministic init = the fixed IVF grid, quantized."""
+    return np.array([[_qfloor(centroid_coef(c, d)) for d in range(DIM)]
+                     for c in range(N_CLUSTERS)], dtype=np.int64)
+
+
+def ivf_train_kmeans_exact(emb: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Learned coarse quantizer, fixed-point Lloyd's, FULLY oracled.
+
+    Per iteration: one Arrow assignment pass (exact int64 scores,
+    centroids in the UDF closure) and one posexplode →
+    groupBy(cluster, d) integer sum/count; the driver collects only
+    N_CLUSTERS×DIM longs (the irreducible Lloyd synchronization —
+    same 4 KB at 10¹² rows) and re-quantizes the mean with
+    floor(s/n + ½).  Empty clusters keep their previous centroid.
+    Output rows are scalar columns (cluster, n_vecs, d, centroid) —
+    centroid = cq/2^24 is an exact dyadic double.
+
+    Cites the reference's determinism contract (gk-slo batch conversion
+    is bit-reproducible run-to-run); this extends it to iterative
+    training state under distributed execution."""
+    Cq = kmeans_init_q()
+    vq = emb.select("vec_id", _vq_expr().alias("q"))
+    assigned = None
+    for _ in range(n_iter):
+        assigned = vq.withColumn("cluster", _assign_q_udf(Cq)(F.col("q")))
+        stats = (assigned
+                 .select("cluster", F.posexplode("q").alias("d", "v"))
+                 .groupBy("cluster", "d")
+                 .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                 .collect())  # ≤ N_CLUSTERS·DIM tiny rows
+        Cq = Cq.copy()
+        import math
+        for r in stats:
+            Cq[r.cluster, r.d] = math.floor(r.s / r.n + 0.5)
+    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(int(c), int(d), float(Cq[c, d]) / KM_SCALE)
+         for c in range(N_CLUSTERS) for d in range(DIM)],
+        "cluster int, d int, centroid double")
+    return (counts.join(F.broadcast(cent), "cluster")
+            .select("cluster", "n_vecs", "d", "centroid"))
+
+
+def kmeans_replay_exact(V: np.ndarray, n_iter: int = 3):
+    """Single-machine NumPy replay of the exact trainer (pytest twin).
+    V is the raw float32/float64 embedding matrix."""
+    Q = np.floor(V.astype(np.float64) * KM_SCALE + 0.5).astype(np.int64)
+    Cq = kmeans_init_q()
+    assign = None
+    for _ in range(n_iter):
+        score = 2 * (Q @ Cq.T) - (Cq ** 2).sum(axis=1)
+        assign = score.argmax(axis=1)
+        Cq = Cq.copy()
+        for c in range(N_CLUSTERS):
+            m = assign == c
+            if m.any():
+                Cq[c] = np.floor(Q[m].sum(axis=0) / m.sum() + 0.5)
+    return assign, Cq
+
+
+def _km_c0_sql() -> str:
+    """Initial quantized centroids reproduced arithmetically (exact
+    integer mixing → float64 division → quantize; every step is
+    deterministic IEEE in both engines — verified by pytest against
+    kmeans_init_q)."""
+    return f"""
+(SELECT cl.c AS cluster, gs.i - 1 AS d,
+        cast(floor((cast(((cl.c * {DIM} + (gs.i - 1) + 101) * 2246822519)
+                         % 1000000 AS double) / 1000000.0e0 - 0.5e0)
+                   * {KM_SCALE}.0e0 + 0.5e0) AS bigint) AS cq
+ FROM generate_series(0, {N_CLUSTERS - 1}) AS cl(c),
+      generate_series(1, {DIM}) AS gs(i))
+"""
+
+
+def ivf_train_kmeans_exact_sql(n_iter: int = 3) -> str:
+    """DuckDB twin: the same fixed-point Lloyd unrolled as CTE stages.
+    Every aggregate is an int64 sum → order-independent → the value
+    hash is stable by construction, not by tolerance."""
+    parts = [f"""
+pts AS (
+  SELECT vec_id, gs.i - 1 AS d,
+         cast(floor(cast(embedding[gs.i] AS double) * {KM_SCALE}.0e0
+                    + 0.5e0) AS bigint) AS vq
+  FROM embeddings, generate_series(1, {DIM}) AS gs(i)),
+c0 AS (SELECT * FROM {_km_c0_sql()} q_c0)"""]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        parts.append(f"""
+ss{p} AS (SELECT cluster, sum(cq * cq) AS ss FROM c{p} GROUP BY cluster),
+sc{k} AS (SELECT p.vec_id, c.cluster, 2 * sum(p.vq * c.cq) AS dot2
+          FROM pts p JOIN c{p} c ON p.d = c.d
+          GROUP BY p.vec_id, c.cluster),
+a{k} AS (SELECT vec_id, cluster FROM (
+           SELECT s.vec_id, s.cluster,
+                  row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY s.dot2 - w.ss DESC, s.cluster ASC) AS rn
+           FROM sc{k} s JOIN ss{p} w ON s.cluster = w.cluster) r{k}
+         WHERE rn = 1),
+u{k} AS (SELECT a.cluster, p.d, sum(p.vq) AS s, count(*) AS n
+         FROM a{k} a JOIN pts p ON a.vec_id = p.vec_id
+         GROUP BY a.cluster, p.d),
+c{k} AS (SELECT c.cluster, c.d,
+                CASE WHEN u.n IS NULL THEN c.cq
+                     ELSE cast(floor(cast(u.s AS double) / u.n + 0.5e0)
+                               AS bigint) END AS cq
+         FROM c{p} c LEFT JOIN u{k} u
+           ON c.cluster = u.cluster AND c.d = u.d)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body},
+counts AS (SELECT cluster, count(*) AS n_vecs
+           FROM a{n_iter} GROUP BY cluster)
+SELECT co.cluster, co.n_vecs, ce.d,
+       ce.cq / {KM_SCALE}.0e0 AS centroid
+FROM counts co JOIN c{n_iter} ce ON co.cluster = ce.cluster
+"""
+
+
 def ivf_cluster_sizes(emb: DataFrame) -> DataFrame:
     """Quantizer balance diagnostic (skew in cell sizes is IVF's
     failure mode at scale — worth a first-class check)."""

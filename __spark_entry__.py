@@ -188,6 +188,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries / oracle_sql
 # ===========================================================================
 
+# (pairs_df, cache_handles) per (applicationId, sf_dir) — see
+# _shared_pairs inside queries()
+_PAIRS_MEMO: dict = {}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -524,7 +529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              + F.cos(F.radians(F.lit(fi0))) * F.cos(F.radians(F.col("fi")))
              * F.sin(dlam2) * F.sin(dlam2))
         dist = 2.0 * 6371000.0 * F.asin(F.sqrt(h))
-        return src.select("k", F.round(dist, 4).alias("dist_m"))
+        # 2 dp (cm grain on metres): Java Math vs C libm trig differ by
+        # ulps (~1e-10 abs at this magnitude), so leave ≥7 orders of
+        # margin above the noise instead of rounding at 4 dp where a
+        # boundary value could flip the last digit (ADVICE r3).
+        return src.select("k", F.round(dist, 2).alias("dist_m"))
     q["haversine_to_ljubljana"] = q_haversine
 
     # ---- S5/S6: gk-shp analogue — WKT vertex-array conversion ------------
@@ -586,8 +595,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_ratio"] = lambda s, d: td.repetition_ratio(_docs(s, d))
 
     q["dedup_exact"] = lambda s, d: td.exact_dedup(_docs(s, d))
-    q["near_dup_drop_list"] = lambda s, d: td.near_dup_drop_list(_docs(s, d))
-    q["near_dup_components"] = lambda s, d: td.near_dup_components(_docs(s, d))
+
+    def _shared_pairs(spark, sf_dir):
+        # ONE persisted band cache serves minhash_lsh_pairs,
+        # near_dup_drop_list and near_dup_components (ADVICE r3: each
+        # call used to persist a fresh copy that nothing unpersisted —
+        # in a long-lived session sweeping many queries the storage
+        # copies stacked up).  Keyed by (app, sf_dir); switching
+        # sessions/SFs evicts and unpersists the stale entry.
+        key = (spark.sparkContext.applicationId, sf_dir)
+        hit = _PAIRS_MEMO.get(key)
+        if hit is None:
+            for k in list(_PAIRS_MEMO):
+                _, stale = _PAIRS_MEMO.pop(k)
+                for c in stale:
+                    try:
+                        c.unpersist()
+                    except Exception:
+                        pass
+            cache: list = []
+            hit = (td.minhash_pairs(_docs(spark, sf_dir), cache=cache),
+                   cache)
+            _PAIRS_MEMO[key] = hit
+        return hit[0]
+
+    q["minhash_lsh_pairs"] = _shared_pairs
+    q["near_dup_drop_list"] = lambda s, d: td.near_dup_drop_list(
+        _docs(s, d), pairs=_shared_pairs(s, d))
+    q["near_dup_components"] = lambda s, d: td.near_dup_components(
+        _docs(s, d), pairs=_shared_pairs(s, d))
 
     def q_host_cap(spark, sf_dir):
         _register(spark, sf_dir)
@@ -600,7 +636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.sql(f"SELECT * FROM {MESSY_URL_SRC}"))
     q["url_normalize_dedup"] = q_url_norm
     q["minhash_signatures"] = lambda s, d: td.minhash_signatures(_docs(s, d))
-    q["minhash_lsh_pairs"] = lambda s, d: td.minhash_pairs(_docs(s, d))
     q["simhash"] = lambda s, d: td.simhash(_docs(s, d))
     q["simhash_near_dup_pairs"] = \
         lambda s, d: td.simhash_near_dup_pairs(_docs(s, d))
@@ -933,7 +968,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .outputMode("complete")
               .option("checkpointLocation", os.path.join(base, "ck"))
               .trigger(availableNow=True).start())
-        qh.awaitTermination(300)
+        if not qh.awaitTermination(300):
+            qh.stop()
+            raise RuntimeError(
+                "streaming flagship did not finish in 300s — refusing "
+                "to read a partial memory-sink table")
         return spark.table("stream_flagship_tiles_mem")
     q["streaming_flagship_tiles"] = q_stream_flagship
 
@@ -1192,7 +1231,7 @@ GROUP BY lang
         "* sin((radians(la) - radians(14.5058e0)) / 2.0e0) "
         "* sin((radians(la) - radians(14.5058e0)) / 2.0e0)))")
     o["haversine_to_ljubljana"] = (
-        f"SELECT k, round({_hav}, 4) AS dist_m "
+        f"SELECT k, round({_hav}, 2) AS dist_m "
         f"FROM {_src_wgs('o_orderkey', 'orders')} WHERE k % 5 = 0")
 
     o["coord_pair_classify"] = (

@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,8 +78,16 @@ def _commit_batch(b: DataFrame, out_dir: str, mpath: str,
                      .filter(F.col("bucket").isin([int(i) for i in batch])))
         stats = {r.bucket: (int(r.n_rows), int(r.value_hash or 0))
                  for r in _bucket_hash(committed).collect()}  # ≤ n_buckets rows
-    except Exception:
-        stats = {}  # empty input: no bucket dir was written at all
+    except AnalysisException as e:
+        # ONLY "no bucket dir was written at all" (empty input) maps to
+        # empty stats; any other re-read failure (transient FS error,
+        # schema problem) must propagate — writing (0, 0) manifest rows
+        # for buckets that hold data would silently corrupt the
+        # manifest's n_rows/value_hash metrics (ADVICE r3).
+        if "PATH_NOT_FOUND" not in (getattr(e, "getErrorClass", lambda: "")()
+                                    or str(e)):
+            raise
+        stats = {}
     rows = [(int(i), *stats.get(i, (0, 0)), wall / max(len(batch), 1))
             for i in batch]
     spark.createDataFrame(

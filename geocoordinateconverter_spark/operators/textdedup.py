@@ -805,33 +805,11 @@ def near_dup_drop_list(docs: DataFrame, est_threshold: float = 0.7,
             .agg(F.count("*").alias("n_better")))
 
 
-def near_dup_components(docs: DataFrame, est_threshold: float = 0.7,
-                        pairs: DataFrame | None = None,
-                        max_iter: int = 25) -> DataFrame:
-    """Connected components over the MinHash-LSH near-dup graph —
-    the clustering step real dedup pipelines run between candidate
-    pairs and the keep-one-per-cluster decision (each component gets
-    the MIN doc_id in it as its label).
-
-    Algorithm: min-label propagation to fixpoint.  Each round joins the
-    current labels onto the symmetric edge list, takes the min of a
-    node's own label and its neighbors' labels, and stops when no label
-    changed (checked with one tiny count).  Rounds ≈ component
-    diameter — near-dup clusters are dense and shallow, so a handful in
-    practice; ``localCheckpoint`` truncates lineage each round so plans
-    stay flat at any scale.  (At 10¹² docs you'd swap the inner step
-    for the large-star/small-star variant — same join shape, fewer
-    rounds on adversarially long paths; the fixpoint semantics and this
-    operator's output are identical.)
-
-    Iterative → registered as an oracle via DuckDB WITH RECURSIVE
-    reachability (min reachable id ≡ min-label fixpoint on symmetric
-    edges).  Output: one row per doc that belongs to a component of
-    size ≥ 2 — (doc_id, component, is_kept)."""
-    if pairs is None:
-        pairs = minhash_pairs(docs)
-    e = (pairs.filter(F.col("est_jaccard") >= est_threshold)
-         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+def _cc_label_prop(e: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation to fixpoint over the undirected edge list
+    ``e(src, dst)``.  Rounds ≈ component diameter; kept as the simple,
+    obviously-correct twin of :func:`_cc_star` (pytest asserts they
+    agree on a long-chain fixture).  Returns (doc_id, label)."""
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
              .distinct().localCheckpoint(eager=False))
@@ -857,14 +835,106 @@ def near_dup_components(docs: DataFrame, est_threshold: float = 0.7,
         if changed == 0:
             break
     if changed != 0:
-        # non-converged labels would silently poison dedup downstream —
-        # fail loudly instead (a component diameter > max_iter means
-        # this data wants the large-star/small-star variant)
         raise RuntimeError(
-            f"near_dup_components: not converged after {max_iter} rounds "
-            f"({changed} labels still changing); component diameter "
-            f"exceeds max_iter — raise max_iter or switch to the "
-            f"large-star/small-star step")
+            f"connected components (label prop): not converged after "
+            f"{max_iter} rounds ({changed} labels still changing); "
+            f"component diameter exceeds max_iter — raise max_iter or "
+            f"use the default large-star/small-star algorithm")
+    return labels
+
+
+def _cc_star(e: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star / small-star connected components (the O(log n)-round
+    alternating algorithm from the MapReduce CC literature) — the r4
+    DEFAULT.  Label propagation's round count grows with component
+    diameter (an adversarial 10¹²-doc chain means thousands of
+    shuffles); the star alternation contracts every component onto its
+    minimum id in logarithmically many rounds regardless of diameter:
+
+    * large-star: each node u links every LARGER neighbor to
+      m = min(Γ(u) ∪ {u});
+    * small-star: each node v links its smaller neighbors and itself to
+      the minimum of them.
+
+    Both steps are one groupBy(min) + one equi-join per round — the
+    same shuffle shape as a label-prop round, just fewer rounds.
+    Fixpoint = a star forest rooted at each component's min id.
+    Returns (doc_id, label); output contract (and the WITH RECURSIVE
+    oracle) identical to :func:`_cc_label_prop`."""
+    # canonical storage: (u, v) with u < v, deduped
+    edges = (e.filter(F.col("src") != F.col("dst"))
+             .select(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+             .distinct().localCheckpoint(eager=False))
+    converged = False
+    prev_n = edges.count()
+    for _ in range(max_iter):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min(neighbors ∪ {u}); emit (v, m) for v > u
+        m = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+             .select("u", F.least("mv", "u").alias("m")))
+        ls = (sym.join(m, "u")
+              .filter((F.col("v") > F.col("u")) & (F.col("v") != F.col("m")))
+              .select(F.col("m").alias("u"), F.col("v").alias("v"))
+              .distinct())  # m ≤ u < v → already canonical
+        # small-star over large→small orientation: group by the larger
+        # endpoint v, mm = min of its smaller neighbors; emit (x, mm)
+        # for x ∈ N(v) \ {mm} and (v, mm)
+        mm = ls.groupBy("v").agg(F.min("u").alias("m"))
+        j = ls.join(mm, "v")
+        new_edges = (j.filter(F.col("u") != F.col("m"))
+                     .select(F.col("m").alias("u"), F.col("u").alias("v"))
+                     .unionByName(j.select(F.col("m").alias("u"),
+                                           F.col("v").alias("v")))
+                     .distinct().localCheckpoint(eager=False))
+        # both sets are deduped: equal counts + empty one-sided
+        # difference ⇒ set equality (the count usually differs in
+        # non-final rounds, skipping the subtract job entirely)
+        n = new_edges.count()
+        if n == prev_n \
+                and new_edges.subtract(edges).limit(1).count() == 0:
+            edges = new_edges
+            converged = True
+            break
+        edges, prev_n = new_edges, n
+    if not converged:
+        raise RuntimeError(
+            f"connected components (large-star/small-star): not "
+            f"converged after {max_iter} rounds — this should only be "
+            f"possible if max_iter < O(log n); raise max_iter")
+    # fixpoint is a star forest: every edge is (root, member)
+    members = edges.select(F.col("v").alias("doc_id"),
+                           F.col("u").alias("label"))
+    roots = (edges.select("u").distinct()
+             .select(F.col("u").alias("doc_id"), F.col("u").alias("label")))
+    return members.unionByName(roots)
+
+
+def near_dup_components(docs: DataFrame, est_threshold: float = 0.7,
+                        pairs: DataFrame | None = None,
+                        max_iter: int = 25,
+                        algorithm: str = "star") -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph —
+    the clustering step real dedup pipelines run between candidate
+    pairs and the keep-one-per-cluster decision (each component gets
+    the MIN doc_id in it as its label).
+
+    ``algorithm='star'`` (default, r4): large-star/small-star
+    alternation — O(log n) rounds on any graph shape, the 10¹²-row
+    answer.  ``algorithm='labelprop'``: min-label propagation to
+    fixpoint (rounds ≈ diameter) — kept as the simple equivalence twin.
+
+    Iterative → registered as an oracle via DuckDB WITH RECURSIVE
+    reachability (min reachable id ≡ component min on symmetric
+    edges).  Output: one row per doc that belongs to a component of
+    size ≥ 2 — (doc_id, component, is_kept)."""
+    if pairs is None:
+        pairs = minhash_pairs(docs)
+    e = (pairs.filter(F.col("est_jaccard") >= est_threshold)
+         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    cc = _cc_star if algorithm == "star" else _cc_label_prop
+    labels = cc(e, max_iter)
     return labels.select(
         "doc_id", F.col("label").alias("component"),
         (F.col("doc_id") == F.col("label")).alias("is_kept"))

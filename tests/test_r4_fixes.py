@@ -27,6 +27,42 @@ def test_ivf_train_kmeans_exact_matches_numpy_bitwise(spark):
     assert got_sizes == sizes
 
 
+def test_cc_star_long_chain_and_equivalence(spark):
+    """A 41-node path graph has diameter 40: label propagation needs
+    40 rounds (here given 60), while large-star/small-star must
+    converge within 25 — and both must emit identical labels (the
+    component min)."""
+    from pyspark.sql import functions as F
+
+    from geocoordinateconverter_spark.operators import textdedup as td
+    e = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                              "src long, dst long")
+    star = {(r.doc_id, r.label) for r in td._cc_star(e, 25).collect()}
+    prop = {(r.doc_id, r.label)
+            for r in td._cc_label_prop(e, 60).collect()}
+    assert star == prop == {(i, 0) for i in range(41)}
+    # two disjoint components keep distinct roots
+    e2 = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                               "src long, dst long")
+    star2 = {(r.doc_id, r.label) for r in td._cc_star(e2, 25).collect()}
+    assert star2 == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_near_dup_components_algorithms_agree(spark):
+    """The registered query (star default) and the label-prop twin
+    produce identical (doc_id, component, is_kept) rows on the real
+    near-dup graph."""
+    from geocoordinateconverter_spark.operators import textdedup as td
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    pairs = td.minhash_pairs(docs)
+    a = {tuple(r) for r in td.near_dup_components(
+        docs, pairs=pairs, algorithm="star").collect()}
+    b = {tuple(r) for r in td.near_dup_components(
+        docs, pairs=pairs, algorithm="labelprop").collect()}
+    assert a == b and len(a) > 0
+
+
 def test_ivf_train_kmeans_exact_partition_invariant(spark):
     """Shuffle-order invariance is the whole point of the fixed-point
     formulation: training on a 13-partition scramble of the input must

@@ -24,8 +24,11 @@ geodesy pipeline runs.  Design rules:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 K_MINHASH = 16
 N_BANDS = 4
@@ -226,7 +229,60 @@ MINHASH_PAIRS_SQL = f"""
 SIMHASH_BITS = 60
 
 
-def simhash(docs: DataFrame) -> DataFrame:
+# per-row token-hash array: tokenization AND md5→60-bit carving stay
+# inside one codegen lambda — the token stream never leaves its row
+_TOK_HASH_EXPR = (
+    "transform(filter(split(text, ' '), t -> t <> ''), "
+    "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))")
+
+
+def _simhash_kernel():
+    """One Arrow crossing: per doc, fold the token-hash array into the
+    60-bit SimHash.  O(total_tokens) memory (no T×60 matrix — one
+    shifted int64 scratch vector per bit, segment-summed with
+    ``np.add.reduceat``); exact integer arithmetic throughout, so the
+    result is independent of token order and batch boundaries."""
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def _udf(ha: pd.Series) -> pd.Series:
+        n = len(ha)
+        if n == 0:
+            return pd.Series(np.empty(0, np.int64))
+        arrs = [np.asarray(x, dtype=np.int64) for x in ha]
+        lens = np.fromiter((len(a) for a in arrs), np.int64, n)
+        flat = np.concatenate(arrs)
+        offs = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        cnt = np.empty((n, SIMHASH_BITS), np.int64)
+        tmp = np.empty_like(flat)
+        for b in range(SIMHASH_BITS):
+            np.right_shift(flat, b, out=tmp)
+            np.bitwise_and(tmp, 1, out=tmp)
+            cnt[:, b] = np.add.reduceat(tmp, offs)
+        s = 2 * cnt - lens[:, None]  # Σ±1 = 2·popcount − n_tokens
+        fp = ((s > 0).astype(np.int64) << shifts).sum(axis=1)
+        return pd.Series(fp)
+
+    return _udf
+
+
+def simhash(docs: DataFrame, kernel: bool = True) -> DataFrame:
+    """60-bit SimHash per doc.
+
+    ``kernel=True`` (r4 default): MAP-ONLY — the codegen lambda builds
+    the token-hash array per row and one Arrow kernel folds it to the
+    fingerprint; zero Exchange in the plan.  The previous formulation
+    (``kernel=False``) exploded tokens×60 bit rows through two hash
+    aggregations — a 60× pre-agg row inflation that is pure CPU/alloc
+    overhead on a 100 TB token stream; it remains as the
+    SQL-shaped equivalence twin (the DuckDB oracle keeps that form),
+    pytest-asserted identical."""
+    if kernel:
+        ha = docs.select("doc_id", F.expr(_TOK_HASH_EXPR).alias("ha"))
+        return (ha.filter(F.size("ha") > 0)
+                .select("doc_id",
+                        _simhash_kernel()(F.col("ha")).alias("simhash")))
     t = tokens(docs).withColumn("h", hash60_col(F.col("tok")))
     bits = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
     per_bit = (t.select("doc_id", "h", bits)

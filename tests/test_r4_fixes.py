@@ -63,6 +63,30 @@ def test_near_dup_components_algorithms_agree(spark):
     assert a == b and len(a) > 0
 
 
+def test_simhash_kernel_matches_explode_form(spark):
+    """The map-only Arrow kernel and the explode×60 SQL-shaped form
+    must emit identical fingerprints for every doc (exact integer
+    semantics, so equality is bitwise, not approximate)."""
+    from geocoordinateconverter_spark.operators import textdedup as td
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    a = {r.doc_id: r.simhash
+         for r in td.simhash(docs, kernel=True).collect()}
+    b = {r.doc_id: r.simhash
+         for r in td.simhash(docs, kernel=False).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_simhash_kernel_plan_is_map_only(spark):
+    """The kernel path must contain no Exchange (the whole point)."""
+    from geocoordinateconverter_spark.operators import textdedup as td
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    plan = td.simhash(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_ivf_train_kmeans_exact_partition_invariant(spark):
     """Shuffle-order invariance is the whole point of the fixed-point
     formulation: training on a 13-partition scramble of the input must

@@ -946,6 +946,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
     q["ann_recall_report"] = q_ann_recall
 
+    def q_ann_recall_clustered(spark, sf_dir):
+        # same diagnostic over the deterministic 16-cluster fixture —
+        # the case a working IVF must win: IVF > LSH > chance and
+        # nprobe≥1-probe (pytest asserts those orderings; the oracle
+        # asserts the exact numbers)
+        _register(spark, sf_dir)
+        emb = sim.clustered_embeddings(spark.table("embeddings"))
+        exact = sim.brute_force_topk(emb, k=5).select("q_id", "vec_id")
+        nq = exact.select("q_id").distinct().count()  # tiny scalar
+        parts = []
+        for m, df in (("lsh", sim.lsh_topk(emb, k=5)),
+                      ("ivf", sim.ivf_topk(emb, k=5)),
+                      ("ivf_nprobe", sim.ivf_nprobe_topk(emb, k=5, nprobe=3))):
+            hits = (df.select("q_id", "vec_id")
+                    .join(exact, ["q_id", "vec_id"])
+                    .agg(F.count("*").alias("n_hits"))
+                    .select(F.lit(m).alias("method"), "n_hits",
+                            F.round(F.col("n_hits")
+                                    / F.lit(float(5 * nq)), 9)
+                            .alias("recall_at_5")))
+            parts.append(hits)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    q["ann_recall_report_clustered"] = q_ann_recall_clustered
+
     def q_stream_flagship(spark, sf_dir):
         # streaming lineage under the DRIVER gate (VERDICT r2 #6): the
         # flagship geoparse→t3→tile pipeline runs through readStream +
@@ -1444,6 +1471,15 @@ nq AS (SELECT count(DISTINCT q_id) AS n FROM bf)
 SELECT method, n_hits,
        round(n_hits / (5.0e0 * n), 9) AS recall_at_5
 FROM ({_recall_arms}) q CROSS JOIN nq
+"""
+
+    o["ann_recall_report_clustered"] = f"""
+WITH emb_clustered AS (SELECT * FROM {sim.clustered_embeddings_sql()} qc),
+bf AS (SELECT q_id, vec_id FROM ({sim.over_clustered_sql(_bf5)}) qb),
+nq AS (SELECT count(DISTINCT q_id) AS n FROM bf)
+SELECT method, n_hits,
+       round(n_hits / (5.0e0 * n), 9) AS recall_at_5
+FROM ({sim.over_clustered_sql(_recall_arms)}) q CROSS JOIN nq
 """
 
     # ---- r3 additions ---------------------------------------------------

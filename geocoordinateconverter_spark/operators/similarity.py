@@ -706,6 +706,48 @@ def ivf_cluster_sizes_sql() -> str:
             f"FROM {ivf_assign_sql('embeddings')} q GROUP BY cluster")
 
 
+# ---------------------------------------------------------------------------
+# Clustered embedding fixture (r4): the uniform-random driver fixture is
+# the WORST case for bucketed ANN (recall@5 of 0.06–0.40 characterizes
+# chance, not the operator).  This deterministic 16-cluster mixture —
+# integer-mixed centers (different mixing constant than the IVF grid,
+# so the quantizer is NOT trivially aligned) plus ±0.05 integer-mixed
+# noise — gives the recall report a fixture on which a working IVF must
+# beat LSH must beat chance, with nprobe monotonicity.  Pure arithmetic
+# from vec_id → bit-identical in both engines, no data files.
+# ---------------------------------------------------------------------------
+
+def _clustered_elem_sql(d: int) -> str:
+    c = (f"((((vec_id % {N_CLUSTERS}) * {DIM} + {d} + 777) * 2654435761) "
+         f"% 1000000)")
+    nz = f"(((vec_id * {DIM} + {d} + 13) * 2246822519) % 1000001)"
+    return (f"(({c} / 1000000.0e0 - 0.5e0) + "
+            f"(({nz} / 1000000.0e0) * 0.1e0 - 0.05e0))")
+
+
+def clustered_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding array<double>) — 16 well-separated clusters
+    (center spread ~2.3 L2 vs noise radius ~0.26), cluster of k is
+    k % 16."""
+    arr = "array(" + ", ".join(_clustered_elem_sql(d)
+                               for d in range(DIM)) + ")"
+    return emb.select("vec_id", F.expr(arr).alias("embedding"))
+
+
+def clustered_embeddings_sql() -> str:
+    arr = "list_value(" + ", ".join(_clustered_elem_sql(d)
+                                    for d in range(DIM)) + ")"
+    return f"(SELECT vec_id, {arr} AS embedding FROM embeddings)"
+
+
+def over_clustered_sql(arm_sql: str) -> str:
+    """Rewrite an embeddings-table SQL twin to read the clustered
+    fixture: the token ``embeddings`` appears in those strings only as
+    the table name."""
+    import re
+    return re.sub(r"\bembeddings\b", "emb_clustered", arm_sql)
+
+
 def dot_pandas_udf(dim: int = DIM):
     """Arrow-batched dot product for wide vectors (the unrolled-expr
     alternative when dim is large); bitwise-equal to dot_col by

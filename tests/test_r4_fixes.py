@@ -87,6 +87,28 @@ def test_simhash_kernel_plan_is_map_only(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_ann_recall_clustered_orderings(spark):
+    """On the 16-cluster fixture every ANN arm must beat chance by an
+    order of magnitude, nprobe=3 must beat single-probe IVF, and every
+    arm must beat its own recall on the uniform fixture (which is the
+    documented worst case).  Note the honest finding: tight clusters
+    are the IDEAL case for hyperplane LSH (cluster members share
+    buckets), so LSH can exceed single-probe IVF here — the diagnostic
+    distinguishes working from broken, not a fixed method ranking."""
+    import __spark_entry__ as em
+    q = em.queries()
+    sf = "/root/testdata/sf0.001"
+    clustered = {r.method: r.recall_at_5
+                 for r in q["ann_recall_report_clustered"](spark, sf).collect()}
+    uniform = {r.method: r.recall_at_5
+               for r in q["ann_recall_report"](spark, sf).collect()}
+    chance = 5.0 / 500.0
+    for m in ("lsh", "ivf", "ivf_nprobe"):
+        assert clustered[m] > 10 * chance, (m, clustered[m])
+        assert clustered[m] > uniform[m], (m, clustered[m], uniform[m])
+    assert clustered["ivf_nprobe"] >= clustered["ivf"]
+
+
 def test_ivf_train_kmeans_exact_partition_invariant(spark):
     """Shuffle-order invariance is the whole point of the fixed-point
     formulation: training on a 13-partition scramble of the input must

@@ -123,6 +123,28 @@ def _shp_line_src() -> str:
 
 
 SHP_LINE_SRC = _shp_line_src()
+
+
+# PolygonZ + multi-part fixture (r4): per supplier, part 0 = 4-vertex
+# outer ring, part 1 = 3-vertex hole ring; z from the tm height field;
+# m deterministic with one NULL per geometry (vid 3) to exercise the
+# spec's measure-NODATA sentinel through the file and back.
+def _shp_zm_src() -> str:
+    sels = []
+    for part, vids in ((0, (0, 1, 2, 3)), (1, (4, 5, 6))):
+        for j in vids:
+            p = sg.tm_points_sql(f"(geom_id * 16 + {j})")
+            m = ("cast(NULL as double)" if j == 3 else
+                 f"((((geom_id * 13 + {j}) * 2654435761) % 1000000) "
+                 f"/ 1000000.0e0 * 100.0e0)")
+            sels.append(
+                f"SELECT geom_id, {part} AS part, {j} AS vid, "
+                f"{p['x']} AS x, {p['y']} AS y, {p['h']} AS h, {m} AS mz "
+                f"FROM (SELECT s_suppkey AS geom_id FROM supplier) q_g")
+    return "(" + " UNION ALL ".join(sels) + ") q_v"
+
+
+SHP_ZM_SRC = _shp_zm_src()
 SHP_ATTR_SRC = ("(SELECT s_suppkey AS geom_id, "
                 "concat('sup_', cast(s_suppkey as string)) AS name, "
                 "cast(s_suppkey * 37 % 100000 as bigint) AS pop "
@@ -581,6 +603,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (back_v.join(back_a, "geom_id")
                 .select("geom_id", "vid", "x", "y", "name", "pop"))
     q["shapefile_attrs_passthrough"] = q_shp_attrs
+
+    # ---- S5/S6 breadth (r4): PolygonZ with hole rings — Z/M vertex
+    # values and part/ring order must survive the binary roundtrip
+    # bit-exactly, then (x, y, z) converts through the same t5 chain;
+    # the file's M-NODATA sentinel maps back to NULL on output -------
+    def q_shp_zm(spark, sf_dir):
+        import tempfile
+
+        from geocoordinateconverter_spark.sources import shapefile as shp
+        _register(spark, sf_dir)
+        verts = (spark.sql(f"SELECT * FROM {SHP_ZM_SRC}")
+                 .select("geom_id", "part", "vid", "x", "y",
+                         F.col("h").alias("z"),
+                         F.col("mz").alias("m")))
+        base = tempfile.mkdtemp(prefix="shp_zm_") + "/polyz"
+        shp.df_to_shapefile(verts, base, shp.SHP_POLYGONZ)
+        back = shp.shapefile_to_df(spark, base)  # bit-exact x/y/z/m
+        udf = kernels.transform_udf(5)
+        conv = back.withColumn("o", udf(F.col("x"), F.col("y"),
+                                        F.col("z")))
+        return conv.select(
+            "geom_id", "part", "vid",
+            F.round("o.x", 2).alias("x_out"),
+            F.round("o.y", 2).alias("y_out"),
+            F.round("o.h", 2).alias("z_out"),
+            F.when(F.col("m") < -1e38,
+                   F.lit(None).cast("double"))
+             .otherwise(F.col("m")).alias("m_out"))
+    q["shapefile_zm_multipart_roundtrip"] = q_shp_zm
 
     # ================= training-data pipeline operators ===================
     def _docs(spark, sf_dir):
@@ -1485,6 +1536,11 @@ FROM ({sim.over_clustered_sql(_recall_arms)}) q CROSS JOIN nq
     # ---- r3 additions ---------------------------------------------------
     o["ann_ivf_nprobe_topk"] = sim.ivf_nprobe_topk_sql(k=5, nprobe=3)
     o["ann_ivf_train_kmeans"] = sim.ivf_train_kmeans_exact_sql(n_iter=3)
+
+    o["shapefile_zm_multipart_roundtrip"] = (
+        f"SELECT geom_id, part, vid, round(x, 2) AS x_out, "
+        f"round(y, 2) AS y_out, round(h, 2) AS z_out, mz AS m_out "
+        f"FROM ({sg.t5_sql(SHP_ZM_SRC, 'geom_id, part, vid, mz')}) q")
 
     o["shapefile_attrs_passthrough"] = (
         f"SELECT q_v.geom_id AS geom_id, q_v.vid AS vid, q_v.x AS x, "

@@ -25,38 +25,66 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+SHP_NULL = 0
 SHP_POINT = 1
 SHP_POLYLINE = 3
 SHP_POLYGON = 5
+SHP_POINTZ = 11
+SHP_POLYLINEZ = 13
+SHP_POLYGONZ = 15
+
+Z_TYPES = {SHP_POINTZ, SHP_POLYLINEZ, SHP_POLYGONZ}
+# ESRI spec: an M value < -1e38 means "no data"; this is the
+# conventional sentinel writers emit for absent measures
+M_NODATA = -1e40
+
+
+def _is_z(shape_type: int) -> bool:
+    return shape_type in Z_TYPES
 
 
 # ---------------------------------------------------------------------------
 # .shp / .shx
 # ---------------------------------------------------------------------------
 
-def _shp_header(shape_type: int, file_words: int, bbox) -> bytes:
+def _shp_header(shape_type: int, file_words: int, bbox, zmr) -> bytes:
     return (struct.pack(">7i", 9994, 0, 0, 0, 0, 0, file_words)
             + struct.pack("<ii", 1000, shape_type)
             + struct.pack("<4d", *bbox)
-            + struct.pack("<4d", 0.0, 0.0, 0.0, 0.0))
+            + struct.pack("<4d", *zmr))
+
+
+def _rng(a: np.ndarray) -> tuple[float, float]:
+    return (float(a.min()), float(a.max())) if a.size else (0.0, 0.0)
 
 
 def write_shp(path_base: str, shapes: list[list[np.ndarray]],
               shape_type: int) -> None:
     """``shapes``: one entry per record; each a list of parts, each part
-    an (n, 2) float64 array of (x, y).  Point records use one 1-vertex
-    part.  Writes ``<base>.shp`` and ``<base>.shx``."""
-    allv = np.concatenate([p for s in shapes for p in s]) if shapes \
-        else np.zeros((0, 2))
+    an (n, 2) float64 array of (x, y) — or (n, 4) of (x, y, z, m) for
+    the Z shape types (11/13/15).  Point records use one 1-vertex part;
+    an EMPTY parts list writes a null shape (type 0) record, which the
+    spec allows inside any shape-type file.  Writes ``<base>.shp`` and
+    ``<base>.shx``."""
+    width = 4 if _is_z(shape_type) else 2
+    allv = (np.concatenate([p for s in shapes for p in s])
+            if any(s for s in shapes) else np.zeros((0, width)))
     bbox = ((float(allv[:, 0].min()), float(allv[:, 1].min()),
              float(allv[:, 0].max()), float(allv[:, 1].max()))
             if allv.size else (0.0, 0.0, 0.0, 0.0))
+    zmr = ((*_rng(allv[:, 2]), *_rng(allv[:, 3])) if width == 4
+           else (0.0, 0.0, 0.0, 0.0))
     records, index = [], []
     offset_words = 50  # header = 100 bytes
     for i, parts in enumerate(shapes):
-        if shape_type == SHP_POINT:
+        if not parts:
+            content = struct.pack("<i", SHP_NULL)
+        elif shape_type == SHP_POINT:
             x, y = float(parts[0][0, 0]), float(parts[0][0, 1])
             content = struct.pack("<i2d", SHP_POINT, x, y)
+        elif shape_type == SHP_POINTZ:
+            x, y, z, m = (float(v) for v in parts[0][0, :4])
+            content = struct.pack("<i4d", SHP_POINTZ, x, y, z, m)
         else:
             pts = np.concatenate(parts)
             starts, n = [], 0
@@ -69,22 +97,30 @@ def write_shp(path_base: str, shapes: list[list[np.ndarray]],
                 float(pts[:, 0].max()), float(pts[:, 1].max()),
                 len(parts), len(pts))
             content += struct.pack(f"<{len(parts)}i", *starts)
-            content += pts.astype("<f8").tobytes()
+            content += pts[:, :2].astype("<f8").tobytes()
+            if width == 4:
+                # spec: Zmin,Zmax + Z array, then Mmin,Mmax + M array
+                content += struct.pack("<2d", *_rng(pts[:, 2]))
+                content += pts[:, 2].astype("<f8").tobytes()
+                content += struct.pack("<2d", *_rng(pts[:, 3]))
+                content += pts[:, 3].astype("<f8").tobytes()
         words = len(content) // 2
         records.append(struct.pack(">ii", i + 1, words) + content)
         index.append(struct.pack(">ii", offset_words, words))
         offset_words += 4 + words
     body = b"".join(records)
     with open(path_base + ".shp", "wb") as f:
-        f.write(_shp_header(shape_type, (100 + len(body)) // 2, bbox))
+        f.write(_shp_header(shape_type, (100 + len(body)) // 2, bbox, zmr))
         f.write(body)
     with open(path_base + ".shx", "wb") as f:
-        f.write(_shp_header(shape_type, (100 + 8 * len(index)) // 2, bbox))
+        f.write(_shp_header(shape_type, (100 + 8 * len(index)) // 2,
+                            bbox, zmr))
         f.write(b"".join(index))
 
 
 def read_shp(path_base: str) -> tuple[int, list[list[np.ndarray]]]:
-    """Returns (shape_type, shapes) in :func:`write_shp`'s structure."""
+    """Returns (shape_type, shapes) in :func:`write_shp`'s structure
+    (Z-type records come back as (n, 4) parts; null records as [])."""
     with open(path_base + ".shp", "rb") as f:
         raw = f.read()
     file_words = struct.unpack(">i", raw[24:28])[0]
@@ -95,20 +131,32 @@ def read_shp(path_base: str) -> tuple[int, list[list[np.ndarray]]]:
         _, words = struct.unpack(">ii", raw[pos:pos + 8])
         c = raw[pos + 8:pos + 8 + 2 * words]
         rec_type = struct.unpack("<i", c[:4])[0]
-        if rec_type == SHP_POINT:
+        if rec_type == SHP_NULL:
+            shapes.append([])
+        elif rec_type == SHP_POINT:
             x, y = struct.unpack("<2d", c[4:20])
             shapes.append([np.array([[x, y]], dtype=np.float64)])
-        elif rec_type in (SHP_POLYLINE, SHP_POLYGON):
+        elif rec_type == SHP_POINTZ:
+            x, y, z, m = struct.unpack("<4d", c[4:36])
+            shapes.append([np.array([[x, y, z, m]], dtype=np.float64)])
+        elif rec_type in (SHP_POLYLINE, SHP_POLYGON,
+                          SHP_POLYLINEZ, SHP_POLYGONZ):
             n_parts, n_pts = struct.unpack("<ii", c[36:44])
             starts = list(struct.unpack(f"<{n_parts}i", c[44:44 + 4 * n_parts]))
-            pts = np.frombuffer(c[44 + 4 * n_parts:
-                                  44 + 4 * n_parts + 16 * n_pts],
+            off = 44 + 4 * n_parts
+            pts = np.frombuffer(c[off:off + 16 * n_pts],
                                 dtype="<f8").reshape(n_pts, 2)
+            if rec_type in (SHP_POLYLINEZ, SHP_POLYGONZ):
+                zo = off + 16 * n_pts + 16  # skip Zmin,Zmax
+                zs = np.frombuffer(c[zo:zo + 8 * n_pts], dtype="<f8")
+                mo = zo + 8 * n_pts + 16    # skip Mmin,Mmax
+                ms = np.frombuffer(c[mo:mo + 8 * n_pts], dtype="<f8")
+                pts = np.column_stack([pts, zs, ms])
             bounds = starts + [n_pts]
             shapes.append([pts[bounds[j]:bounds[j + 1]].copy()
                            for j in range(n_parts)])
-        else:  # null shape (type 0) or unsupported: empty record
-            shapes.append([np.zeros((0, 2))])
+        else:  # unsupported type: empty record
+            shapes.append([])
         pos += 8 + 2 * words
     return shape_type, shapes
 
@@ -174,11 +222,14 @@ def read_dbf(path: str) -> tuple[list[tuple[str, str, int]], list[tuple]]:
 # ---------------------------------------------------------------------------
 
 VERTEX_SCHEMA = "geom_id bigint, part int, vid int, x double, y double"
+VERTEX_SCHEMA_ZM = VERTEX_SCHEMA + ", z double, m double"
 
 
 def shapefile_to_df(spark: SparkSession, path_base: str) -> DataFrame:
     """SHP + DBF → vertex DataFrame (geom_id from the DBF's first
-    numeric field, else the record index)."""
+    numeric field, else the record index).  Z-type files populate the
+    ``z``/``m`` columns; 2-D files leave them NULL.  Null-shape records
+    contribute no vertex rows (their geom_id simply has none)."""
     _, shapes = read_shp(path_base)
     try:
         _, attrs = read_dbf(path_base + ".dbf")
@@ -189,27 +240,41 @@ def shapefile_to_df(spark: SparkSession, path_base: str) -> DataFrame:
     for sid, parts in zip(ids, shapes):
         vid = 0
         for pi, p in enumerate(parts):
-            for x, y in p:
-                rows.append((sid, pi, vid, float(x), float(y)))
+            for v in p:
+                z, m = (float(v[2]), float(v[3])) if len(v) >= 4 \
+                    else (None, None)
+                rows.append((sid, pi, vid, float(v[0]), float(v[1]), z, m))
                 vid += 1
-    return spark.createDataFrame(rows, VERTEX_SCHEMA)
+    return spark.createDataFrame(rows, VERTEX_SCHEMA_ZM)
 
 
 def df_to_shapefile(df: DataFrame, path_base: str,
                     shape_type: int = SHP_POLYGON,
                     attrs: DataFrame | None = None) -> None:
-    """Vertex DataFrame (VERTEX_SCHEMA, converted or not) → SHP + DBF.
-    Collects — by design: see module docstring (dim-side exchange
-    format; a .shp is one sequential file).
+    """Vertex DataFrame (VERTEX_SCHEMA[_ZM], converted or not) → SHP +
+    DBF.  Collects — by design: see module docstring (dim-side exchange
+    format; a .shp is one sequential file).  For Z shape types the
+    ``z`` and ``m`` columns are written per vertex (NULL m →
+    :data:`M_NODATA`); multi-part records (hole rings, multi-segment
+    lines) keep part and within-part vertex order exactly.
 
     ``attrs``: optional per-geometry attribute DataFrame (gk-shp's DBF
     attribute copy) with a ``geom_id`` column plus any number of
     integer ('N') / string ('C') columns; rows are aligned to the .shp
     record order and written as extra DBF fields."""
     pdf = df.toPandas().sort_values(["geom_id", "part", "vid"])
+    if _is_z(shape_type):
+        if "z" not in pdf.columns:
+            raise ValueError(f"shape type {shape_type} needs a z column")
+        if "m" not in pdf.columns:
+            pdf["m"] = M_NODATA
+        pdf["m"] = pdf["m"].fillna(M_NODATA)
+        cols = ["x", "y", "z", "m"]
+    else:
+        cols = ["x", "y"]
     shapes, ids = [], []
     for gid, g in pdf.groupby("geom_id", sort=True):
-        parts = [p[["x", "y"]].to_numpy(np.float64)
+        parts = [p[cols].to_numpy(np.float64)
                  for _, p in g.groupby("part", sort=True)]
         shapes.append(parts)
         ids.append(int(gid))

@@ -87,6 +87,66 @@ def test_simhash_kernel_plan_is_map_only(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_shapefile_z_types_roundtrip(tmp_path):
+    """PointZ / PolyLineZ / PolygonZ binary roundtrips are bit-exact,
+    including multi-part (hole-ring) structure and M arrays."""
+    from geocoordinateconverter_spark.sources import shapefile as shp
+    base = str(tmp_path / "ptz")
+    pts = [[np.array([[1.5, 2.5, 10.0, 0.25]])],
+           [np.array([[3.5, 4.5, -2.0, shp.M_NODATA]])]]
+    shp.write_shp(base, pts, shp.SHP_POINTZ)
+    st, got = shp.read_shp(base)
+    assert st == shp.SHP_POINTZ
+    for a, b in zip(pts, got):
+        np.testing.assert_array_equal(a[0], b[0])
+
+    base2 = str(tmp_path / "polyz")
+    outer = np.array([[0., 0., 1., 5.], [10., 0., 2., 6.],
+                      [10., 10., 3., 7.], [0., 0., 1., 5.]])
+    hole = np.array([[2., 1., 1.5, 8.], [5., 1., 1.6, 9.],
+                     [4., 3., 1.7, 10.], [2., 1., 1.5, 8.]])
+    shapes = [[outer, hole], [outer + 100.0]]
+    shp.write_shp(base2, shapes, shp.SHP_POLYGONZ)
+    st2, got2 = shp.read_shp(base2)
+    assert st2 == shp.SHP_POLYGONZ
+    assert [len(s) for s in got2] == [2, 1]  # part structure preserved
+    for srec, grec in zip(shapes, got2):
+        for sp, gp in zip(srec, grec):
+            np.testing.assert_array_equal(sp, gp)
+
+
+def test_shapefile_null_shape_records(tmp_path):
+    """A null-shape (type 0) record inside a Polygon file survives the
+    roundtrip as an empty record and contributes no vertex rows."""
+    from geocoordinateconverter_spark.sources import shapefile as shp
+    base = str(tmp_path / "withnull")
+    ring = np.array([[0., 0.], [4., 0.], [4., 4.], [0., 0.]])
+    shapes = [[ring], [], [ring + 10.0]]
+    shp.write_shp(base, shapes, shp.SHP_POLYGON)
+    st, got = shp.read_shp(base)
+    assert st == shp.SHP_POLYGON
+    assert len(got) == 3 and got[1] == []
+    np.testing.assert_array_equal(got[0][0], ring)
+    np.testing.assert_array_equal(got[2][0], ring + 10.0)
+
+
+def test_shapefile_zm_df_bridge(spark, tmp_path):
+    """df → PolygonZ file → df keeps x/y/z/m bitwise and maps NULL m
+    through the spec's NODATA sentinel."""
+    from geocoordinateconverter_spark.sources import shapefile as shp
+    rows = [(1, 0, 0, 0.0, 0.0, 5.0, 1.0), (1, 0, 1, 9.0, 0.0, 6.0, None),
+            (1, 1, 2, 2.0, 1.0, 7.0, 3.0), (2, 0, 0, 50.0, 50.0, 8.0, 4.0)]
+    df = spark.createDataFrame(rows, shp.VERTEX_SCHEMA_ZM)
+    base = str(tmp_path / "zmbridge")
+    shp.df_to_shapefile(df, base, shp.SHP_POLYGONZ)
+    back = {(r.geom_id, r.part, r.vid): (r.x, r.y, r.z, r.m)
+            for r in shp.shapefile_to_df(spark, base).collect()}
+    for gid, part, vid, x, y, z, m in rows:
+        bx, by, bz, bm = back[(gid, part, vid)]
+        assert (bx, by, bz) == (x, y, z)
+        assert bm == (m if m is not None else shp.M_NODATA)
+
+
 def test_ann_recall_clustered_orderings(spark):
     """On the 16-cluster fixture every ANN arm must beat chance by an
     order of magnitude, nprobe=3 must beat single-probe IVF, and every

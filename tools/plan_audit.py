@@ -104,7 +104,8 @@ def main() -> None:
     #   declared baseline (recall@k is defined against exact top-k);
     #   the three approximate arms it grades are equi-join-only and
     #   remain individually swept via their own queries.
-    BNLJ_OK = {"ann_cosine_topk", "ann_recall_report"}
+    BNLJ_OK = {"ann_cosine_topk", "ann_recall_report",
+               "ann_recall_report_clustered"}
     offenders = []
     for qname, fn in em.queries().items():
         if qname in BNLJ_OK:

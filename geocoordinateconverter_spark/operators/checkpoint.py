@@ -118,7 +118,16 @@ def checkpointed_write(df: DataFrame, out_dir: str, key: str,
     try:
         done = {r.bucket for r in spark.read.parquet(mpath).collect()}
     except Exception:
-        pass
+        # Missing manifest (first run) → nothing committed.  A manifest
+        # dir that EXISTS but cannot be read is the torn state a crash
+        # DURING the manifest write leaves (partial/garbage parquet):
+        # trust none of it — quarantine the dir for forensics and
+        # recompute every bucket.  Deterministic upstream + dynamic
+        # partition overwrite make the full re-commit idempotent, so
+        # "re-do" is always safe where "skip" would be a silent gap.
+        if os.path.isdir(mpath):
+            os.rename(mpath, mpath + f".corrupt.{int(time.time())}")
+        done = set()
 
     skipped = sorted(done & set(range(n_buckets)))
     pending = [i for i in range(n_buckets) if i not in done]

@@ -87,6 +87,53 @@ def test_simhash_kernel_plan_is_map_only(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_checkpoint_torn_manifest_recommits(spark, tmp_path_factory):
+    """Crash DURING the manifest write: the manifest dir exists but is
+    unreadable (partial/garbage parquet).  The rerun must detect it,
+    quarantine it, and re-commit EVERY bucket rather than skipping —
+    and the result must equal a clean one-shot write bucket-for-bucket
+    (idempotence of the deterministic overwrite)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from geocoordinateconverter_spark.operators import checkpoint as cp
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    out1 = str(tmp_path_factory.mktemp("ckpt_torn") / "out_torn")
+    out2 = str(tmp_path_factory.mktemp("ckpt_torn") / "out_clean")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cp.checkpointed_write(docs, out1, key="doc_id", n_buckets=8,
+                              fail_after_bucket=3)
+    # tear the manifest: truncate one committed part file mid-way and
+    # drop a garbage file next to it — the torn state a crash during
+    # the append leaves behind
+    mdir = os.path.join(out1, cp.MANIFEST)
+    part = sorted(glob.glob(os.path.join(mdir, "part-*.parquet")))[0]
+    raw = open(part, "rb").read()
+    open(part, "wb").write(raw[: max(4, len(raw) // 2)])
+    open(os.path.join(mdir, "part-torn.parquet"), "wb").write(b"PAR1junk")
+
+    res = cp.checkpointed_write(docs, out1, key="doc_id", n_buckets=8)
+    assert res["skipped"] == []          # nothing trusted
+    assert sorted(res["written"]) == list(range(8))  # full re-commit
+    assert glob.glob(mdir + ".corrupt.*")  # quarantined, not deleted
+
+    cp.checkpointed_write(docs, out2, key="doc_id", n_buckets=8)
+    ma = {r.bucket: (r.n_rows, r.value_hash)
+          for r in cp.manifest(spark, out1).collect()}
+    mb = {r.bucket: (r.n_rows, r.value_hash)
+          for r in cp.manifest(spark, out2).collect()}
+    assert ma == mb and len(ma) == 8
+    a = (cp.read_checkpointed(spark, out1).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (cp.read_checkpointed(spark, out2).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
 def test_shapefile_z_types_roundtrip(tmp_path):
     """PointZ / PolyLineZ / PolygonZ binary roundtrips are bit-exact,
     including multi-part (hole-ring) structure and M arrays."""

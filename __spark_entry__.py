@@ -1065,33 +1065,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # green in BOTH r01 and r02 (they remain registered after slot 50 and
 # stay covered by tools/local_verify.py + pytest).
 _WINDOW_PRIORITY = [
-    # r02-uncovered block (20)
-    "minhash_rerank_exact", "ann_cosine_topk", "ann_lsh_buckets",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_cluster_sizes",
-    "embedding_near_dup", "multimodal_meta", "multimodal_features",
-    "tpch_q1_pricing", "join_topk_customers", "window_lag_rank",
-    "set_ops_users", "semi_anti_join", "rollup_orders",
-    "range_join_bands", "sessionize_events", "cube_events",
-    "exact_percentiles", "events_window_agg",
-    # new in r3
-    "ann_ivf_nprobe_topk", "streaming_flagship_tiles",
-    "shapefile_attrs_passthrough", "near_dup_components",
-    "host_cap_keep_first", "simhash_near_dup_pairs",
-    "webpages_hint_schema", "html_text_extract", "ann_ivf_train_kmeans",
-    "url_normalize_dedup", "salted_tile_agg_exact",
-    "checkpoint_resume_roundtrip", "window_analytics", "tpch_q3_shipping",
-    "ann_recall_report", "polygon_area_centroid", "haversine_to_ljubljana",
-    # simhash widened 16→60 bits in r3 (semantics changed → back in
-    # the driver window; minhash_signatures rotates out instead, its
-    # logic is embedded in minhash_lsh_pairs which stays in)
-    "simhash",
-    # single-driver-row (r02 only) entries stay inside the window
-    "geoparse_comma_decimal", "geoparse_symbol_dms",
-    "geoparse_height_default", "geoparse_swapped_pair",
-    "height_mode_override_t3_hg", "selftest_golden_chains",
-    "cli_reverse_t2", "shapefile_roundtrip_convert",
-    "c4_quality_filter", "repetition_ratio", "near_dup_drop_list",
-    "pivot_events_by_type",
+    # --- r4 rotation (VERDICT r3 #3): the 40 entries whose newest
+    # driver-green row was r01/r02, plus every query r4 added or
+    # changed, fill the 50-slot snapshot; everything displaced has an
+    # r03 green row, keeping max staleness <= 2 rounds across all 90.
+    # r4 NEW:
+    "ann_recall_report_clustered", "shapefile_zm_multipart_roundtrip",
+    # r4 CHANGED (fixed-point kmeans; star CC; map-only simhash;
+    # shared pairs cache; haversine rounding; streaming timeout guard;
+    # torn-manifest re-commit):
+    "ann_ivf_train_kmeans", "near_dup_components", "near_dup_drop_list",
+    "simhash", "simhash_near_dup_pairs", "minhash_lsh_pairs",
+    "haversine_to_ljubljana", "streaming_flagship_tiles",
+    "checkpoint_resume_roundtrip",
+    # r01-cohort rotation: chains + geoparse core + pip/knn/aft/geoid
+    "s3_normalize_northing", "t3_gk_to_wgs84", "t1_tm_to_wgs84",
+    "t2_wgs84_to_tm", "t5_gk_to_tm", "t4_wgs84_to_gk", "t6_tm_to_gk",
+    "t7_gk_to_wgs84_aft", "t8_wgs84_to_gk_aft", "t9_gk_to_tm_aft",
+    "t10_tm_to_gk_aft", "tile_t3_cells", "tile_rollup_res5",
+    "tile_topk_applyinpandas", "webpages_text_passthrough",
+    "geoparse_decimal_degrees", "geoparse_multi_mention", "geoparse_dms",
+    "geoparse_reject_stats", "pip_join_municipalities", "pip_tile_agg",
+    "knn_join_stations", "aft_locate_triangle", "geoid_bilinear",
+    "geoid_bilinear_egm", "height_mode_hg", "dms_format",
+    "coord_pair_classify", "geometry_wkt_convert",
+    # r02-cohort rotation: training-data ops whose newest row is r02
+    "url_host_stats", "dedup_exact", "minhash_signatures",
+    "ngram_jaccard_pairs", "text_stats", "lang_id", "bpe_token_stats",
+    "rolling_fingerprint",
+    # 2 spare slots: re-green the north-rule-critical byte-identity and
+    # skew rows early
+    "html_text_extract", "salted_tile_agg_exact",
 ]
 # (every r01/r02-era entry displaced from the 50-slot window during r3
 # has TWO driver-green rows, r01 + r02, and remains covered by

@@ -88,9 +88,37 @@ TOKENS_SQL = """
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_sig_array(docs: DataFrame) -> DataFrame:
+    """(doc_id, sigs array<bigint>[K_MINHASH]) — MAP-ONLY (r4).
+
+    The whole signature computation stays inside the row: one codegen
+    lambda builds the distinct-token array, then one ``array_min ∘
+    transform`` per permutation takes the min hash.  Same K×T md5 work
+    as the exploded form, but zero row inflation and zero shuffle —
+    the r3 plan materialized tokens×K rows through a
+    groupBy(doc_id, perm) exchange, pure overhead at a 100 TB token
+    stream.  sigs[p+1] == the exploded form's (perm=p).sig exactly
+    (min over the same multiset of identical md5-carved hashes)."""
+    toks = "array_distinct(filter(split(text, ' '), t -> t <> ''))"
+    sig_exprs = [
+        F.expr(f"array_min(transform(toks, t -> cast(conv(substr("
+               f"md5(concat('{p}:', t)), 1, 15), 16, 10) as bigint)))")
+        .alias(f"s{p}")
+        for p in range(K_MINHASH)]
+    return (docs.select("doc_id", F.expr(toks).alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select("doc_id", F.array(*sig_exprs).alias("sigs")))
+
+
+def minhash_signatures(docs: DataFrame, kernel: bool = True) -> DataFrame:
     """(doc_id, perm, sig): sig = min over DISTINCT tokens of
-    hash60(perm || ':' || token)."""
+    hash60(perm || ':' || token).  ``kernel=True`` derives the rows by
+    posexploding the map-only signature array (explode at OUTPUT only,
+    no shuffle); ``kernel=False`` is the r3 explode×K → groupBy twin
+    (the SQL oracle's shape), pytest-asserted identical."""
+    if kernel:
+        return minhash_sig_array(docs).select(
+            "doc_id", F.posexplode("sigs").alias("perm", "sig"))
     t = tokens(docs).distinct()
     perms = F.explode(F.sequence(F.lit(0), F.lit(K_MINHASH - 1))).alias("perm")
     return (t.select("doc_id", "tok", perms)
@@ -162,17 +190,26 @@ def minhash_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET,
     repeatedly should pass a list as ``cache`` to receive the persisted
     band DataFrame and ``unpersist()`` it once the returned plan has
     been materialized (otherwise storage copies stack up)."""
-    sig = minhash_signatures(docs)
-    sig_arr = sig.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("perm", "sig"))).alias("ps"))
+    # r4: the signature table is now MAP-ONLY (minhash_sig_array) —
+    # the r3 groupBy(doc_id) signature-assembly exchange is gone too;
+    # the banded self-join below is the plan's ONLY shuffle.
+    sig_arr = minhash_sig_array(docs)
     band_ix = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
     # band_key formatting is EXACTLY minhash_bands' ("%02d:%d" join ","):
-    # the two code paths and the SQL oracle stay hash-comparable
-    slice_fmt = F.transform(
-        F.slice("ps", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-        lambda x: F.format_string("%02d:%d", x["perm"], x["sig"]))
-    bands = (sig_arr.select("doc_id", "ps", band_ix)
-             .withColumn("band_key", F.md5(F.array_join(slice_fmt, ","))))
+    # the two code paths and the SQL oracle stay hash-comparable (perm
+    # is the static array position here)
+    band_fmt = {
+        b: F.md5(F.concat_ws(",", *[
+            F.format_string("%02d:%d", F.lit(p),
+                            F.element_at("sigs", p + 1))
+            for p in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]))
+        for b in range(N_BANDS)}
+    band_key = F.lit(None).cast("string")
+    for b in range(N_BANDS - 1, -1, -1):
+        band_key = F.when(F.col("band") == b, band_fmt[b]) \
+            .otherwise(band_key)
+    bands = (sig_arr.select("doc_id", "sigs", band_ix)
+             .withColumn("band_key", band_key))
     wb = Window.partitionBy("band", "band_key")
     bands = (bands.withColumn("bsize", F.count("*").over(wb))
              .filter(F.col("bsize") <= max_bucket).drop("bsize")
@@ -180,8 +217,8 @@ def minhash_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET,
     if cache is not None:
         cache.append(bands)
     eq = F.size(F.filter(
-        F.zip_with(F.col("a.ps"), F.col("b.ps"),
-                   lambda x, y: x["sig"] == y["sig"]),
+        F.zip_with(F.col("a.sigs"), F.col("b.sigs"),
+                   lambda x, y: x == y),
         lambda v: v))
     return (bands.alias("a")
             .join(bands.alias("b"),

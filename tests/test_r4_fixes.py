@@ -63,6 +63,28 @@ def test_near_dup_components_algorithms_agree(spark):
     assert a == b and len(a) > 0
 
 
+def test_minhash_sig_kernel_matches_explode_form(spark):
+    """Map-only signature array vs the explode×K → groupBy twin:
+    identical (doc_id, perm, sig) rows."""
+    from geocoordinateconverter_spark.operators import textdedup as td
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    a = {(r.doc_id, r.perm): r.sig
+         for r in td.minhash_signatures(docs, kernel=True).collect()}
+    b = {(r.doc_id, r.perm): r.sig
+         for r in td.minhash_signatures(docs, kernel=False).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_minhash_sig_array_plan_is_map_only(spark):
+    from geocoordinateconverter_spark.operators import textdedup as td
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    plan = (td.minhash_sig_array(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_simhash_kernel_matches_explode_form(spark):
     """The map-only Arrow kernel and the explode×60 SQL-shaped form
     must emit identical fingerprints for every doc (exact integer

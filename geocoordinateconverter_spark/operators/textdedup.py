@@ -547,13 +547,26 @@ FROM (
 """
 
 
-def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+def rolling_fingerprint(docs: DataFrame, kernel: bool = True) -> DataFrame:
     """Order-sensitive polynomial rolling-hash fingerprint per doc.
-    No length cap: the exponent term B^(n-1-i) mod P is a pure codegen
-    square-and-multiply expression, so a 10⁶-token doc costs the same
-    31 multiply-mods per token as a 10-token one — and the broadcast
-    power-table join of r1 (with its silent 512-token truncation) is
-    gone entirely: tokenize → map → one groupBy shuffle."""
+
+    ``kernel=True`` (r4): Σ th_i·B^(n−1−i) mod P is exactly a Horner
+    fold, so the whole fingerprint is ONE codegen ``aggregate()`` over
+    the per-row token array — acc·B < 2^51, no overflow — and the plan
+    is MAP-ONLY (the r3 form exploded tokens, joined the per-doc count
+    back, and aggregated: three shuffles of the full token stream).
+
+    ``kernel=False`` keeps that exploded square-and-multiply form (the
+    SQL oracle's shape; still uncapped) as the equivalence twin."""
+    if kernel:
+        toks = "filter(split(text, ' '), t -> t <> '')"
+        fp = (f"aggregate({toks}, cast(0 as bigint), (acc, t) -> "
+              f"pmod(acc * {ROLL_B} + pmod(cast(conv(substr(md5(t), 1, 15),"
+              f" 16, 10) as bigint), {ROLL_P}), {ROLL_P}))")
+        return (docs.select("doc_id", F.expr(fp).alias("rolling_fp"),
+                            F.expr(f"cast(size({toks}) as bigint)")
+                            .alias("n_tok"))
+                .filter(F.col("n_tok") > 0))
     w = (docs.select("doc_id",
                      F.posexplode(F.split("text", " ")).alias("pos", "tok"))
          .filter(F.col("tok") != ""))

@@ -85,6 +85,22 @@ def test_minhash_sig_array_plan_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_rolling_fp_horner_matches_explode_form(spark):
+    """Horner-fold fingerprint == the exploded square-and-multiply
+    form, doc for doc (same mod field, so equality is exact)."""
+    from geocoordinateconverter_spark.operators import textdedup as td
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    a = {r.doc_id: (r.rolling_fp, r.n_tok)
+         for r in td.rolling_fingerprint(docs, kernel=True).collect()}
+    b = {r.doc_id: (r.rolling_fp, r.n_tok)
+         for r in td.rolling_fingerprint(docs, kernel=False).collect()}
+    assert a == b and len(a) > 0
+    plan = (td.rolling_fingerprint(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_simhash_kernel_matches_explode_form(spark):
     """The map-only Arrow kernel and the explode×60 SQL-shaped form
     must emit identical fingerprints for every doc (exact integer

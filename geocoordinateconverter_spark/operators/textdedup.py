@@ -415,22 +415,34 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # Word n-gram Jaccard near-dup (exact, on bounded candidate pairs)
 # ---------------------------------------------------------------------------
 
+def _gram_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, grams array<string>) — distinct word n-grams built
+    per row in ONE codegen pass (r4).  The r3 form materialized the
+    exploded token stream and positional-self-joined it (n−1) times —
+    two full-stream shuffle joins per gram table at 100 TB; here the
+    sliding window is a ``transform(sequence(...))`` over the token
+    array and never leaves the row."""
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    parts = ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
+    grams = (f"case when size(toks) >= {n} then "
+             f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+             f"i -> concat_ws(' ', {parts}))) "
+             f"else array() end")
+    return (docs.select("doc_id", F.expr(toks).alias("toks"))
+            .select("doc_id", F.expr(grams).alias("grams")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         id_window: int = 25) -> DataFrame:
     """Exact trigram-set Jaccard for doc pairs with nearby doc_ids
-    (bounded candidate generation; LSH covers the unbounded case)."""
-    w = (docs.select("doc_id", F.posexplode(F.split("text", " "))
-                     .alias("pos", "tok"))
-         .filter(F.col("tok") != ""))
-    g = (w.alias("w1")
-         .join(w.alias("w2"), (F.col("w1.doc_id") == F.col("w2.doc_id"))
-               & (F.col("w2.pos") == F.col("w1.pos") + 1))
-         .join(w.alias("w3"), (F.col("w1.doc_id") == F.col("w3.doc_id"))
-               & (F.col("w3.pos") == F.col("w1.pos") + 2))
-         .select(F.col("w1.doc_id").alias("doc_id"),
-                 F.concat_ws(" ", "w1.tok", "w2.tok", "w3.tok").alias("gram"))
-         .distinct())
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    (bounded candidate generation; LSH covers the unbounded case).
+    Gram construction is map-only (:func:`_gram_arrays`); the only
+    remaining shuffles are the gram equi-join that generates
+    intersections and its count aggregation."""
+    ga = _gram_arrays(docs, n)
+    g = ga.select("doc_id", F.explode("grams").alias("gram"))
+    sizes = (ga.select("doc_id", F.size("grams").alias("n_grams"))
+             .filter(F.col("n_grams") > 0))
     inter = (g.alias("a").join(
                  g.alias("b"),
                  (F.col("a.gram") == F.col("b.gram"))
@@ -607,30 +619,25 @@ def minhash_rerank_exact(docs: DataFrame, n: int = 3,
     standard two-phase near-dup pipeline at corpus scale: cheap sketch
     recall, exact precision on the shortlist)."""
     cand = minhash_pairs(docs).filter(F.col("est_jaccard") >= est_threshold)
-    w = (docs.select("doc_id", F.posexplode(F.split("text", " "))
-                     .alias("pos", "tok"))
-         .filter(F.col("tok") != ""))
-    g = (w.alias("w1")
-         .join(w.alias("w2"), (F.col("w1.doc_id") == F.col("w2.doc_id"))
-               & (F.col("w2.pos") == F.col("w1.pos") + 1))
-         .join(w.alias("w3"), (F.col("w1.doc_id") == F.col("w3.doc_id"))
-               & (F.col("w3.pos") == F.col("w1.pos") + 2))
-         .select(F.col("w1.doc_id").alias("doc_id"),
-                 F.concat_ws(" ", "w1.tok", "w2.tok", "w3.tok").alias("gram"))
-         .distinct())
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    inter = (cand.join(g.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
-             .join(g.alias("gb"), (F.col("doc_b") == F.col("gb.doc_id"))
-                   & (F.col("ga.gram") == F.col("gb.gram")))
-             .groupBy("doc_a", "doc_b", "est_jaccard")
-             .agg(F.count("*").alias("n_inter")))
-    return (inter
-            .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-            .select("doc_a", "doc_b", "est_jaccard",
-                    (F.col("n_inter")
-                     / (F.col("sa.n_grams") + F.col("sb.n_grams")
-                        - F.col("n_inter"))).alias("exact_jaccard")))
+    # r4: gram sets ride as per-doc ARRAYS through two hash joins onto
+    # the shortlist and intersect in codegen — no gram-level shuffle at
+    # all (the r3 form exploded all grams and re-aggregated).  Pairs
+    # with an empty intersection are dropped, exactly as the old inner
+    # gram-join (and the oracle) did.
+    ga = _gram_arrays(docs, n)
+    j = (cand
+         .join(ga.select(F.col("doc_id").alias("doc_a"),
+                         F.col("grams").alias("grams_a")), "doc_a")
+         .join(ga.select(F.col("doc_id").alias("doc_b"),
+                         F.col("grams").alias("grams_b")), "doc_b")
+         .withColumn("n_inter",
+                     F.size(F.array_intersect("grams_a", "grams_b")))
+         .filter(F.col("n_inter") > 0))
+    return j.select(
+        "doc_a", "doc_b", "est_jaccard",
+        (F.col("n_inter")
+         / (F.size("grams_a") + F.size("grams_b")
+            - F.col("n_inter"))).alias("exact_jaccard"))
 
 
 def minhash_rerank_exact_sql(est_threshold: float = 0.5) -> str:

@@ -1,0 +1,144 @@
+"""Round-4 property tests: the map-only kernels verified against
+INDEPENDENT pure-Python references (not just their Spark twins) on
+seeded random inputs, and star connected components against a
+union-find."""
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+
+from geocoordinateconverter_spark.operators import textdedup as td
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _random_texts(seed: int, n: int = 120) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    words = ["the", "quick", "fox", "je", "in", "se", "data", "x1",
+             "gauss", "krueger", "a", "bb", "ccc", "dddd", ""]
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 40)
+        # random runs of spaces exercise empty-token filtering
+        text = " ".join(rng.choice(words) for _ in range(k))
+        rows.append((i, text))
+    rows.append((n, ""))          # no tokens at all
+    rows.append((n + 1, "   "))   # only separators
+    rows.append((n + 2, "solo"))  # single token
+    return rows
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t != ""]
+
+
+def test_rolling_fp_matches_python_reference(spark):
+    rows = _random_texts(41)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.rolling_fp, r.n_tok)
+           for r in td.rolling_fingerprint(docs).collect()}
+    exp = {}
+    for i, text in rows:
+        toks = _toks(text)
+        if not toks:
+            continue
+        acc = 0
+        for t in toks:
+            acc = (acc * td.ROLL_B + _hash60(t) % td.ROLL_P) % td.ROLL_P
+        exp[i] = (acc, len(toks))
+    assert got == exp and len(exp) > 50
+
+
+def test_simhash_matches_python_reference(spark):
+    rows = _random_texts(42)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in td.simhash(docs).collect()}
+    exp = {}
+    for i, text in rows:
+        toks = _toks(text)
+        if not toks:
+            continue
+        hs = [_hash60(t) for t in toks]
+        fp = 0
+        for b in range(td.SIMHASH_BITS):
+            s = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if s > 0:
+                fp |= 1 << b
+        exp[i] = fp
+    assert got == exp and len(exp) > 50
+
+
+def test_minhash_sigs_match_python_reference(spark):
+    rows = _random_texts(43, n=60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.perm): r.sig
+           for r in td.minhash_signatures(docs).collect()}
+    exp = {}
+    for i, text in rows:
+        toks = set(_toks(text))
+        if not toks:
+            continue
+        for p in range(td.K_MINHASH):
+            exp[(i, p)] = min(_hash60(f"{p}:{t}") for t in toks)
+    assert got == exp and len(exp) > 0
+
+
+def test_gram_arrays_match_python_reference(spark):
+    rows = _random_texts(44, n=60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: sorted(r.grams)
+           for r in td._gram_arrays(docs, n=3).collect()}
+    for i, text in rows:
+        toks = _toks(text)
+        grams = sorted({" ".join(toks[j:j + 3])
+                        for j in range(len(toks) - 2)}) \
+            if len(toks) >= 3 else []
+        assert got[i] == grams, i
+
+
+def _union_find_labels(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # union-by-min keeps every root the component minimum, so find(v)
+    # IS the min-id label; only nodes that touch an edge are labeled
+    touched = {v for e in edges for v in e}
+    return {v: find(v) for v in touched}
+
+
+def test_cc_star_random_graphs_match_union_find(spark):
+    """Erdős–Rényi graphs at several densities + adversarial shapes:
+    the star algorithm's labels must equal union-find's
+    min-id-per-component."""
+    cases = []
+    for seed, n, p in ((1, 30, 0.05), (2, 30, 0.12), (3, 50, 0.03)):
+        rng = random.Random(seed)
+        edges = [(a, b) for a in range(n) for b in range(a + 1, n)
+                 if rng.random() < p]
+        cases.append((n, edges))
+    cases.append((20, [(i, i + 1) for i in range(19)]))      # path
+    cases.append((10, [(0, i) for i in range(1, 10)]))       # star
+    cases.append((12, [(a, b) for a in range(6)               # 2 cliques
+                       for b in range(a + 1, 6)]
+                  + [(a, b) for a in range(6, 12)
+                     for b in range(a + 1, 12)]))
+    for n, edges in cases:
+        if not edges:
+            continue
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.doc_id: r.label for r in td._cc_star(e, 25).collect()}
+        exp = _union_find_labels(n, edges)
+        assert got == exp, (n, len(edges))

@@ -29,11 +29,21 @@ SHP_NULL = 0
 SHP_POINT = 1
 SHP_POLYLINE = 3
 SHP_POLYGON = 5
+SHP_MULTIPOINT = 8
 SHP_POINTZ = 11
 SHP_POLYLINEZ = 13
 SHP_POLYGONZ = 15
+SHP_MULTIPOINTZ = 18
+SHP_POINTM = 21
+SHP_POLYLINEM = 23
+SHP_POLYGONM = 25
+SHP_MULTIPOINTM = 28
 
-Z_TYPES = {SHP_POINTZ, SHP_POLYLINEZ, SHP_POLYGONZ}
+Z_TYPES = {SHP_POINTZ, SHP_POLYLINEZ, SHP_POLYGONZ, SHP_MULTIPOINTZ}
+M_TYPES = {SHP_POINTM, SHP_POLYLINEM, SHP_POLYGONM, SHP_MULTIPOINTM}
+# MultiPoint family: no parts array in the record — a single implicit
+# part (write_shp concatenates whatever parts are passed)
+MULTIPOINT_TYPES = {SHP_MULTIPOINT, SHP_MULTIPOINTZ, SHP_MULTIPOINTM}
 # ESRI spec: an M value < -1e38 means "no data"; this is the
 # conventional sentinel writers emit for absent measures
 M_NODATA = -1e40
@@ -41,6 +51,15 @@ M_NODATA = -1e40
 
 def _is_z(shape_type: int) -> bool:
     return shape_type in Z_TYPES
+
+
+def _is_m(shape_type: int) -> bool:
+    return shape_type in M_TYPES
+
+
+def _width(shape_type: int) -> int:
+    """Vertex tuple width: (x,y) / (x,y,m) / (x,y,z,m)."""
+    return 4 if _is_z(shape_type) else 3 if _is_m(shape_type) else 2
 
 
 # ---------------------------------------------------------------------------
@@ -58,52 +77,58 @@ def _rng(a: np.ndarray) -> tuple[float, float]:
     return (float(a.min()), float(a.max())) if a.size else (0.0, 0.0)
 
 
+def _zm_block(vals: np.ndarray) -> bytes:
+    """(min, max) header + value array — the spec's Z/M block shape."""
+    return struct.pack("<2d", *_rng(vals)) + vals.astype("<f8").tobytes()
+
+
 def write_shp(path_base: str, shapes: list[list[np.ndarray]],
               shape_type: int) -> None:
-    """``shapes``: one entry per record; each a list of parts, each part
-    an (n, 2) float64 array of (x, y) — or (n, 4) of (x, y, z, m) for
-    the Z shape types (11/13/15).  Point records use one 1-vertex part;
-    an EMPTY parts list writes a null shape (type 0) record, which the
-    spec allows inside any shape-type file.  Writes ``<base>.shp`` and
-    ``<base>.shx``."""
-    width = 4 if _is_z(shape_type) else 2
+    """``shapes``: one entry per record; each a list of parts, each
+    part an (n, w) float64 array where w = 2 for (x, y), 3 for
+    (x, y, m) on the M types (21/23/25/28), 4 for (x, y, z, m) on the
+    Z types (11/13/15/18).  Point records use one 1-vertex part;
+    MultiPoint records concatenate their parts (the record has no
+    parts array); an EMPTY parts list writes a null shape (type 0)
+    record, which the spec allows inside any shape-type file.
+    Writes ``<base>.shp`` and ``<base>.shx``."""
+    width = _width(shape_type)
     allv = (np.concatenate([p for s in shapes for p in s])
             if any(s for s in shapes) else np.zeros((0, width)))
     bbox = ((float(allv[:, 0].min()), float(allv[:, 1].min()),
              float(allv[:, 0].max()), float(allv[:, 1].max()))
             if allv.size else (0.0, 0.0, 0.0, 0.0))
     zmr = ((*_rng(allv[:, 2]), *_rng(allv[:, 3])) if width == 4
+           else (0.0, 0.0, *_rng(allv[:, 2])) if width == 3
            else (0.0, 0.0, 0.0, 0.0))
     records, index = [], []
     offset_words = 50  # header = 100 bytes
     for i, parts in enumerate(shapes):
         if not parts:
             content = struct.pack("<i", SHP_NULL)
-        elif shape_type == SHP_POINT:
-            x, y = float(parts[0][0, 0]), float(parts[0][0, 1])
-            content = struct.pack("<i2d", SHP_POINT, x, y)
-        elif shape_type == SHP_POINTZ:
-            x, y, z, m = (float(v) for v in parts[0][0, :4])
-            content = struct.pack("<i4d", SHP_POINTZ, x, y, z, m)
+        elif shape_type in (SHP_POINT, SHP_POINTZ, SHP_POINTM):
+            vals = [float(v) for v in parts[0][0, :width]]
+            content = struct.pack(f"<i{width}d", shape_type, *vals)
         else:
             pts = np.concatenate(parts)
-            starts, n = [], 0
-            for p in parts:
-                starts.append(n)
-                n += len(p)
-            content = struct.pack(
-                "<i4dii", shape_type,
-                float(pts[:, 0].min()), float(pts[:, 1].min()),
-                float(pts[:, 0].max()), float(pts[:, 1].max()),
-                len(parts), len(pts))
-            content += struct.pack(f"<{len(parts)}i", *starts)
+            box = (float(pts[:, 0].min()), float(pts[:, 1].min()),
+                   float(pts[:, 0].max()), float(pts[:, 1].max()))
+            if shape_type in MULTIPOINT_TYPES:
+                content = struct.pack("<i4di", shape_type, *box, len(pts))
+            else:
+                starts, n = [], 0
+                for p in parts:
+                    starts.append(n)
+                    n += len(p)
+                content = struct.pack("<i4dii", shape_type, *box,
+                                      len(parts), len(pts))
+                content += struct.pack(f"<{len(parts)}i", *starts)
             content += pts[:, :2].astype("<f8").tobytes()
             if width == 4:
                 # spec: Zmin,Zmax + Z array, then Mmin,Mmax + M array
-                content += struct.pack("<2d", *_rng(pts[:, 2]))
-                content += pts[:, 2].astype("<f8").tobytes()
-                content += struct.pack("<2d", *_rng(pts[:, 3]))
-                content += pts[:, 3].astype("<f8").tobytes()
+                content += _zm_block(pts[:, 2]) + _zm_block(pts[:, 3])
+            elif width == 3:
+                content += _zm_block(pts[:, 2])
         words = len(content) // 2
         records.append(struct.pack(">ii", i + 1, words) + content)
         index.append(struct.pack(">ii", offset_words, words))
@@ -120,7 +145,8 @@ def write_shp(path_base: str, shapes: list[list[np.ndarray]],
 
 def read_shp(path_base: str) -> tuple[int, list[list[np.ndarray]]]:
     """Returns (shape_type, shapes) in :func:`write_shp`'s structure
-    (Z-type records come back as (n, 4) parts; null records as [])."""
+    (Z records → (n, 4) parts, M records → (n, 3), MultiPoint records →
+    one part, null records → [])."""
     with open(path_base + ".shp", "rb") as f:
         raw = f.read()
     file_words = struct.unpack(">i", raw[24:28])[0]
@@ -131,27 +157,22 @@ def read_shp(path_base: str) -> tuple[int, list[list[np.ndarray]]]:
         _, words = struct.unpack(">ii", raw[pos:pos + 8])
         c = raw[pos + 8:pos + 8 + 2 * words]
         rec_type = struct.unpack("<i", c[:4])[0]
+        w = _width(rec_type)
         if rec_type == SHP_NULL:
             shapes.append([])
-        elif rec_type == SHP_POINT:
-            x, y = struct.unpack("<2d", c[4:20])
-            shapes.append([np.array([[x, y]], dtype=np.float64)])
-        elif rec_type == SHP_POINTZ:
-            x, y, z, m = struct.unpack("<4d", c[4:36])
-            shapes.append([np.array([[x, y, z, m]], dtype=np.float64)])
+        elif rec_type in (SHP_POINT, SHP_POINTZ, SHP_POINTM):
+            vals = struct.unpack(f"<{w}d", c[4:4 + 8 * w])
+            shapes.append([np.array([vals], dtype=np.float64)])
+        elif rec_type in MULTIPOINT_TYPES:
+            n_pts = struct.unpack("<i", c[36:40])[0]
+            pts = _read_pts(c, 40, n_pts, w)
+            shapes.append([pts])
         elif rec_type in (SHP_POLYLINE, SHP_POLYGON,
-                          SHP_POLYLINEZ, SHP_POLYGONZ):
+                          SHP_POLYLINEZ, SHP_POLYGONZ,
+                          SHP_POLYLINEM, SHP_POLYGONM):
             n_parts, n_pts = struct.unpack("<ii", c[36:44])
             starts = list(struct.unpack(f"<{n_parts}i", c[44:44 + 4 * n_parts]))
-            off = 44 + 4 * n_parts
-            pts = np.frombuffer(c[off:off + 16 * n_pts],
-                                dtype="<f8").reshape(n_pts, 2)
-            if rec_type in (SHP_POLYLINEZ, SHP_POLYGONZ):
-                zo = off + 16 * n_pts + 16  # skip Zmin,Zmax
-                zs = np.frombuffer(c[zo:zo + 8 * n_pts], dtype="<f8")
-                mo = zo + 8 * n_pts + 16    # skip Mmin,Mmax
-                ms = np.frombuffer(c[mo:mo + 8 * n_pts], dtype="<f8")
-                pts = np.column_stack([pts, zs, ms])
+            pts = _read_pts(c, 44 + 4 * n_parts, n_pts, w)
             bounds = starts + [n_pts]
             shapes.append([pts[bounds[j]:bounds[j + 1]].copy()
                            for j in range(n_parts)])
@@ -159,6 +180,20 @@ def read_shp(path_base: str) -> tuple[int, list[list[np.ndarray]]]:
             shapes.append([])
         pos += 8 + 2 * words
     return shape_type, shapes
+
+
+def _read_pts(c: bytes, off: int, n_pts: int, width: int) -> np.ndarray:
+    """XY block + optional Z/M blocks (each: min,max + array) at
+    ``off`` → (n_pts, width) array."""
+    pts = np.frombuffer(c[off:off + 16 * n_pts],
+                        dtype="<f8").reshape(n_pts, 2)
+    cols = [pts]
+    o = off + 16 * n_pts
+    for _ in range(width - 2):  # Z block (if width 4), then M block
+        o += 16  # skip min,max
+        cols.append(np.frombuffer(c[o:o + 8 * n_pts], dtype="<f8"))
+        o += 8 * n_pts
+    return np.column_stack(cols) if len(cols) > 1 else pts.copy()
 
 
 # ---------------------------------------------------------------------------
@@ -241,8 +276,12 @@ def shapefile_to_df(spark: SparkSession, path_base: str) -> DataFrame:
         vid = 0
         for pi, p in enumerate(parts):
             for v in p:
-                z, m = (float(v[2]), float(v[3])) if len(v) >= 4 \
-                    else (None, None)
+                if len(v) >= 4:          # Z types: (x, y, z, m)
+                    z, m = float(v[2]), float(v[3])
+                elif len(v) == 3:        # M types: (x, y, m)
+                    z, m = None, float(v[2])
+                else:
+                    z, m = None, None
                 rows.append((sid, pi, vid, float(v[0]), float(v[1]), z, m))
                 vid += 1
     return spark.createDataFrame(rows, VERTEX_SCHEMA_ZM)
@@ -270,6 +309,11 @@ def df_to_shapefile(df: DataFrame, path_base: str,
             pdf["m"] = M_NODATA
         pdf["m"] = pdf["m"].fillna(M_NODATA)
         cols = ["x", "y", "z", "m"]
+    elif _is_m(shape_type):
+        if "m" not in pdf.columns:
+            raise ValueError(f"shape type {shape_type} needs an m column")
+        pdf["m"] = pdf["m"].fillna(M_NODATA)
+        cols = ["x", "y", "m"]
     else:
         cols = ["x", "y"]
     shapes, ids = [], []

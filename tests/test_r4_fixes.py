@@ -200,6 +200,39 @@ def test_shapefile_z_types_roundtrip(tmp_path):
             np.testing.assert_array_equal(sp, gp)
 
 
+def test_shapefile_m_and_multipoint_types(tmp_path):
+    """PointM / PolyLineM / MultiPoint / MultiPointZ / MultiPointM
+    roundtrips are bit-exact — the full ESRI type matrix minus
+    MultiPatch."""
+    from geocoordinateconverter_spark.sources import shapefile as shp
+    # PointM (21)
+    base = str(tmp_path / "ptm")
+    pts = [[np.array([[1.0, 2.0, 0.5]])], [np.array([[3.0, 4.0, shp.M_NODATA]])]]
+    shp.write_shp(base, pts, shp.SHP_POINTM)
+    st, got = shp.read_shp(base)
+    assert st == shp.SHP_POINTM
+    for a, b in zip(pts, got):
+        np.testing.assert_array_equal(a[0], b[0])
+    # PolyLineM (23), two parts
+    base = str(tmp_path / "linem")
+    lines = [[np.array([[0., 0., 1.], [1., 1., 2.]]),
+              np.array([[5., 5., 3.], [6., 5., 4.], [7., 5., 5.]])]]
+    shp.write_shp(base, lines, shp.SHP_POLYLINEM)
+    st, got = shp.read_shp(base)
+    assert st == shp.SHP_POLYLINEM and len(got[0]) == 2
+    for a, b in zip(lines[0], got[0]):
+        np.testing.assert_array_equal(a, b)
+    # MultiPoint (8) / MultiPointZ (18) / MultiPointM (28)
+    for t, w in ((shp.SHP_MULTIPOINT, 2), (shp.SHP_MULTIPOINTZ, 4),
+                 (shp.SHP_MULTIPOINTM, 3)):
+        base = str(tmp_path / f"mp{t}")
+        rec = np.arange(12.0 * w).reshape(12, w)
+        shp.write_shp(base, [[rec]], t)
+        st, got = shp.read_shp(base)
+        assert st == t and len(got[0]) == 1
+        np.testing.assert_array_equal(got[0][0], rec)
+
+
 def test_shapefile_null_shape_records(tmp_path):
     """A null-shape (type 0) record inside a Polygon file survives the
     roundtrip as an empty record and contributes no vertex rows."""

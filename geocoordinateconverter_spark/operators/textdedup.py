@@ -842,11 +842,43 @@ FROM (
 """
 
 
-def repetition_ratio(docs: DataFrame, n: int = 3) -> DataFrame:
+def repetition_ratio(docs: DataFrame, n: int = 3,
+                     kernel: bool = True) -> DataFrame:
     """Fraction of a doc's word-trigram occurrences taken by its single
     most frequent trigram — the standard boilerplate/spam repetition
-    signal.  Trigram build is the shared posexplode+self-join shape;
-    two hash aggregations."""
+    signal.
+
+    ``kernel=True`` (r4): MAP-ONLY — the gram multiset is a codegen
+    sliding window over the token array and the mode count is a
+    run-length fold over the SORTED gram array (``aggregate`` with a
+    (prev, run, best) struct accumulator); zero Exchange.  The r3 form
+    (``kernel=False``) exploded tokens, positional-self-joined twice,
+    and ran two hash aggregations; it remains the equivalence twin and
+    the oracle's shape."""
+    if kernel:
+        toks = "filter(split(text, ' '), t -> t <> '')"
+        parts = ", ".join(f"element_at(toks, i + {j + 1})"
+                          for j in range(n))
+        grams = (f"case when size(toks) >= {n} then "
+                 f"transform(sequence(0, size(toks) - {n}), "
+                 f"i -> concat_ws(' ', {parts})) else array() end")
+        best = (
+            "aggregate(array_sort(grams), "
+            "named_struct('prev', '', 'run', 0L, 'best', 0L), "
+            "(acc, x) -> named_struct("
+            "'prev', x, "
+            "'run', IF(x = acc.prev, acc.run + 1L, 1L), "
+            "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))"
+            "), acc -> acc.best)")
+        return (docs.select("doc_id", F.expr(toks).alias("toks"))
+                .select("doc_id", F.expr(grams).alias("grams"))
+                .filter(F.size("grams") > 0)
+                .select("doc_id",
+                        F.expr(best).alias("top_gram_count"),
+                        F.size("grams").cast("bigint").alias("n_grams"))
+                .withColumn("repetition_ratio",
+                            F.col("top_gram_count")
+                            / F.col("n_grams").cast("double")))
     w = (docs.select("doc_id", F.posexplode(F.split("text", " "))
                      .alias("pos", "tok"))
          .filter(F.col("tok") != ""))

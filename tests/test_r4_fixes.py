@@ -85,6 +85,22 @@ def test_minhash_sig_array_plan_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_repetition_ratio_kernel_matches_explode_form(spark):
+    """Run-length-fold mode count == the exploded two-agg form, and
+    the kernel plan has no Exchange."""
+    from geocoordinateconverter_spark.operators import textdedup as td
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    a = {r.doc_id: (r.top_gram_count, r.n_grams, r.repetition_ratio)
+         for r in td.repetition_ratio(docs, kernel=True).collect()}
+    b = {r.doc_id: (r.top_gram_count, r.n_grams, r.repetition_ratio)
+         for r in td.repetition_ratio(docs, kernel=False).collect()}
+    assert a == b and len(a) > 0
+    plan = (td.repetition_ratio(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_rolling_fp_horner_matches_explode_form(spark):
     """Horner-fold fingerprint == the exploded square-and-multiply
     form, doc for doc (same mod field, so equality is exact)."""

@@ -1054,6 +1054,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.table("stream_flagship_tiles_mem")
     q["streaming_flagship_tiles"] = q_stream_flagship
 
+    def q_stream_stateful(spark, sf_dir):
+        # custom stateful streaming operator under the DRIVER gate:
+        # applyInPandasWithState exact-dedup state machine, run to
+        # completion with availableNow.  The update-mode sink may carry
+        # several updates per key if the source splits into multiple
+        # microbatches; the FINAL state is recovered batch-split-
+        # independently (n_seen grows monotonically, keep_doc_id
+        # shrinks monotonically), and equals the batch groupBy —
+        # which is exactly what the SQL oracle states.
+        import os
+        import shutil
+        import tempfile
+
+        from geocoordinateconverter_spark.streaming import stateful
+        _register(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="stream_stateful_")
+        docs_dir = os.path.join(base, "documents")
+        os.makedirs(docs_dir)
+        shutil.copy(f"{sf_dir}/documents.parquet",
+                    os.path.join(docs_dir, "part-0.parquet"))
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(docs_dir).schema)
+                  .parquet(docs_dir))
+        out = stateful.streaming_dedup(stream)
+        qh = (out.writeStream.format("memory")
+              .queryName("stream_stateful_dedup_mem")
+              .outputMode("update")
+              .option("checkpointLocation", os.path.join(base, "ck"))
+              .trigger(availableNow=True).start())
+        if not qh.awaitTermination(300):
+            qh.stop()
+            raise RuntimeError(
+                "stateful dedup stream did not finish in 300s")
+        sink = spark.table("stream_stateful_dedup_mem")
+        return (sink.groupBy("text_md5")
+                .agg(F.min("keep_doc_id").alias("keep_doc_id"),
+                     F.max("n_seen").alias("n_seen")))
+    q["streaming_stateful_dedup"] = q_stream_stateful
+
     return _windowed(q)
 
 
@@ -1093,9 +1132,9 @@ _WINDOW_PRIORITY = [
     "url_host_stats", "dedup_exact", "minhash_signatures",
     "ngram_jaccard_pairs", "text_stats", "lang_id", "bpe_token_stats",
     "rolling_fingerprint",
-    # 2 spare slots: re-green the north-rule-critical byte-identity and
-    # skew rows early
-    "html_text_extract", "salted_tile_agg_exact",
+    # r4 NEW stateful-streaming gate entry + re-green the north-rule
+    # byte-identity row
+    "streaming_stateful_dedup", "html_text_extract",
 ]
 # (every r01/r02-era entry displaced from the 50-slot window during r3
 # has TWO driver-green rows, r01 + r02, and remains covered by
@@ -1540,6 +1579,11 @@ FROM ({sim.over_clustered_sql(_recall_arms)}) q CROSS JOIN nq
     # ---- r3 additions ---------------------------------------------------
     o["ann_ivf_nprobe_topk"] = sim.ivf_nprobe_topk_sql(k=5, nprobe=3)
     o["ann_ivf_train_kmeans"] = sim.ivf_train_kmeans_exact_sql(n_iter=3)
+
+    o["streaming_stateful_dedup"] = (
+        "SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, "
+        "cast(count(*) as bigint) AS n_seen "
+        "FROM documents GROUP BY md5(text)")
 
     o["shapefile_zm_multipart_roundtrip"] = (
         f"SELECT geom_id, part, vid, round(x, 2) AS x_out, "

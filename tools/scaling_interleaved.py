@@ -44,13 +44,27 @@ spark.stop()
 """
 
 
-def run_level(cores: int, mult: int) -> float:
+def run_level(cores: int, mult: int, retries: int = 1) -> float:
+    """One fresh-JVM measurement; a transient subprocess death (JVM
+    OOM, py4j hiccup) is retried once with its stderr surfaced instead
+    of silently killing the whole multi-round window (r4 lost a round
+    that way)."""
     code = RUNNER.format(repo=str(REPO), cores=cores, mult=mult)
-    out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
-                         capture_output=True, text=True, timeout=1200,
-                         check=True)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")][-1]
-    return json.loads(line[len("RESULT "):])["wall"]
+    last_err = ""
+    for _ in range(retries + 1):
+        out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                             capture_output=True, text=True, timeout=1200)
+        if out.returncode == 0:
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("RESULT ")][-1]
+            return json.loads(line[len("RESULT "):])["wall"]
+        last_err = out.stderr[-2000:]
+        print(f"# level cores={cores} failed (rc={out.returncode}), "
+              f"retrying; stderr tail:\n{last_err}", file=sys.stderr,
+              flush=True)
+    raise RuntimeError(
+        f"level cores={cores} failed after {retries + 1} attempts:\n"
+        f"{last_err}")
 
 
 def main() -> None:

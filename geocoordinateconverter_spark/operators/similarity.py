@@ -594,22 +594,34 @@ def ivf_train_kmeans_exact(emb: DataFrame, n_iter: int = 3) -> DataFrame:
     Cites the reference's determinism contract (gk-slo batch conversion
     is bit-reproducible run-to-run); this extends it to iterative
     training state under distributed execution."""
+    import math
     Cq = kmeans_init_q()
-    vq = emb.select("vec_id", _vq_expr().alias("q"))
-    assigned = None
-    for _ in range(n_iter):
-        assigned = vq.withColumn("cluster", _assign_q_udf(Cq)(F.col("q")))
-        stats = (assigned
-                 .select("cluster", F.posexplode("q").alias("d", "v"))
-                 .groupBy("cluster", "d")
-                 .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-                 .collect())  # ≤ N_CLUSTERS·DIM tiny rows
-        Cq = Cq.copy()
-        import math
-        for r in stats:
-            Cq[r.cluster, r.d] = math.floor(r.s / r.n + 0.5)
-    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+    # persisted: every iteration's assignment pass reads it (without
+    # this, each iteration would re-run the scan + quantize transform)
+    vq = emb.select("vec_id", _vq_expr().alias("q")).persist()
+    stats = []
+    try:
+        for _ in range(n_iter):
+            assigned = vq.withColumn("cluster",
+                                     _assign_q_udf(Cq)(F.col("q")))
+            stats = (assigned
+                     .select("cluster", F.posexplode("q").alias("d", "v"))
+                     .groupBy("cluster", "d")
+                     .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                     .collect())  # ≤ N_CLUSTERS·DIM tiny rows
+            Cq = Cq.copy()
+            for r in stats:
+                Cq[r.cluster, r.d] = math.floor(r.s / r.n + 0.5)
+    finally:
+        vq.unpersist()
     spark = emb.sparkSession
+    # n_vecs is already in the last iteration's stats (n is the same
+    # for every dimension d of a cluster) — re-running the assignment
+    # UDF pass just to count would execute the final iteration's work
+    # twice (a whole wasted pass at 10¹² rows)
+    counts = spark.createDataFrame(
+        [(int(r.cluster), int(r.n)) for r in stats if r.d == 0],
+        "cluster int, n_vecs long")
     cent = spark.createDataFrame(
         [(int(c), int(d), float(Cq[c, d]) / KM_SCALE)
          for c in range(N_CLUSTERS) for d in range(DIM)],

@@ -7,19 +7,27 @@ round brief lists them as first-class alongside SURVEY.md §2): a
 Common-Crawl-style corpus is deduplicated and quality-scored before the
 geodesy pipeline runs.  Design rules:
 
-* Everything is Catalyst built-ins (split/explode/hash-agg/window) —
-  the hot path has NO Python at all; shuffles only on groupBy keys.
+* Hot paths are MAP-ONLY where the semantics allow (r4): MinHash
+  signatures, SimHash, rolling fingerprint, trigram builds, and the
+  repetition signal all compute per row — codegen lambdas over the
+  token array, plus one Arrow crossing for the SimHash bit fold; the
+  only remaining shuffles are the joins/aggregations that are
+  inherently cross-row (band self-join, exact-dedup groupBy, pair
+  intersection).  Every kernel keeps its explode-shaped twin
+  (``kernel=False``) — the DuckDB oracle's form — pytest-asserted
+  identical.
+* Token adjacency is FILTERED adjacency everywhere: positions are
+  assigned after dropping empty tokens, so words separated by runs of
+  spaces are neighbors (kernels, twins, and oracles all agree — see
+  the r4 multispace regression test).
 * Hashes are md5-based so the DuckDB oracle reproduces them exactly
   (both engines implement ``md5`` identically; 60-bit ints are carved
   out of the hex with conv/hex-cast — kept < 2^61 so no overflow
   semantics are exercised in either engine).
 * MinHash permutations are ``md5(i || ':' || token)`` — no modular
   multiply, so no a·x+b overflow divergence; k=16 sigs, 4 bands × 4
-  rows for LSH banding.
-* At scale: exact dedup is one hash-shuffle; MinHash is
-  explode(tokens)×k → groupBy(doc) (partial agg map-side) → band
-  groupBy; pair generation only within LSH buckets (the classic
-  bound on candidate pairs).
+  rows for LSH banding; pair generation only within LSH buckets (the
+  classic bound on candidate pairs).
 """
 
 from __future__ import annotations
@@ -471,9 +479,16 @@ def ngram_jaccard_sql(id_window: int = 25) -> str:
 """
     return f"""
 WITH pos_words AS (
-  SELECT doc_id, pos - 1 AS pos, tok FROM (
+  -- positions are re-ranked AFTER dropping empty tokens so that
+  -- tokens separated by runs of spaces are adjacent (the same
+  -- semantics as the map-only kernels' filtered token arrays)
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1
+           AS pos,
+         tok
+  FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-           generate_subscripts(string_split(text, ' '), 1) AS pos
+           generate_subscripts(string_split(text, ' '), 1) AS raw_pos
     FROM documents) q WHERE tok <> ''
 ), grams AS {grams},
 sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
@@ -580,8 +595,11 @@ def rolling_fingerprint(docs: DataFrame, kernel: bool = True) -> DataFrame:
                             .alias("n_tok"))
                 .filter(F.col("n_tok") > 0))
     w = (docs.select("doc_id",
-                     F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-         .filter(F.col("tok") != ""))
+                     F.posexplode(F.split("text", " "))
+                     .alias("raw_pos", "tok"))
+         .filter(F.col("tok") != "")
+         .withColumn("pos", F.row_number().over(
+             Window.partitionBy("doc_id").orderBy("raw_pos")) - 1))
     n = w.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     term = (w.join(n, "doc_id")
             .withColumn("th", F.pmod(hash60_col(F.col("tok")), F.lit(ROLL_P)))
@@ -600,9 +618,13 @@ SELECT doc_id, cast(sum(term) % {ROLL_P} as bigint) AS rolling_fp,
 FROM (
   SELECT w.doc_id AS doc_id, n.n_tok AS n_tok,
          (({hash60_sql('w.tok')} % {ROLL_P}) * {pw}) % {ROLL_P} AS term
-  FROM (SELECT doc_id, pos - 1 AS pos, tok FROM (
+  FROM (SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos)
+                 - 1 AS pos,
+               tok
+        FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
+                 generate_subscripts(string_split(text, ' '), 1) AS raw_pos
           FROM documents) qw WHERE tok <> '') w
   JOIN (SELECT doc_id, count(*) AS n_tok FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -647,9 +669,16 @@ WITH cand AS (
   WHERE est_jaccard >= {est_threshold!r}e0
 ),
 pos_words AS (
-  SELECT doc_id, pos - 1 AS pos, tok FROM (
+  -- positions are re-ranked AFTER dropping empty tokens so that
+  -- tokens separated by runs of spaces are adjacent (the same
+  -- semantics as the map-only kernels' filtered token arrays)
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1
+           AS pos,
+         tok
+  FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-           generate_subscripts(string_split(text, ' '), 1) AS pos
+           generate_subscripts(string_split(text, ' '), 1) AS raw_pos
     FROM documents) q WHERE tok <> ''
 ),
 grams AS (
@@ -880,8 +909,10 @@ def repetition_ratio(docs: DataFrame, n: int = 3,
                             F.col("top_gram_count")
                             / F.col("n_grams").cast("double")))
     w = (docs.select("doc_id", F.posexplode(F.split("text", " "))
-                     .alias("pos", "tok"))
-         .filter(F.col("tok") != ""))
+                     .alias("raw_pos", "tok"))
+         .filter(F.col("tok") != "")
+         .withColumn("pos", F.row_number().over(
+             Window.partitionBy("doc_id").orderBy("raw_pos")) - 1))
     g = (w.alias("w1")
          .join(w.alias("w2"), (F.col("w1.doc_id") == F.col("w2.doc_id"))
                & (F.col("w2.pos") == F.col("w1.pos") + 1))
@@ -900,9 +931,16 @@ def repetition_ratio(docs: DataFrame, n: int = 3,
 def repetition_ratio_sql() -> str:
     return """
 WITH pos_words AS (
-  SELECT doc_id, pos - 1 AS pos, tok FROM (
+  -- positions are re-ranked AFTER dropping empty tokens so that
+  -- tokens separated by runs of spaces are adjacent (the same
+  -- semantics as the map-only kernels' filtered token arrays)
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1
+           AS pos,
+         tok
+  FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-           generate_subscripts(string_split(text, ' '), 1) AS pos
+           generate_subscripts(string_split(text, ' '), 1) AS raw_pos
     FROM documents) q WHERE tok <> '')
 SELECT doc_id, max(c) AS top_gram_count, cast(sum(c) as bigint) AS n_grams,
        max(c) / cast(sum(c) as double) AS repetition_ratio
@@ -1074,6 +1112,10 @@ def near_dup_components(docs: DataFrame, est_threshold: float = 0.7,
     reachability (min reachable id ≡ component min on symmetric
     edges).  Output: one row per doc that belongs to a component of
     size ≥ 2 — (doc_id, component, is_kept)."""
+    if algorithm not in ("star", "labelprop"):
+        raise ValueError(
+            f"near_dup_components: unknown algorithm {algorithm!r} "
+            f"(use 'star' or 'labelprop')")
     if pairs is None:
         pairs = minhash_pairs(docs)
     e = (pairs.filter(F.col("est_jaccard") >= est_threshold)

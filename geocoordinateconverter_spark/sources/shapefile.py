@@ -77,9 +77,18 @@ def _rng(a: np.ndarray) -> tuple[float, float]:
     return (float(a.min()), float(a.max())) if a.size else (0.0, 0.0)
 
 
-def _zm_block(vals: np.ndarray) -> bytes:
+def _m_rng(vals: np.ndarray) -> tuple[float, float]:
+    """M range per spec: values < -1e38 are NODATA and are EXCLUDED
+    from Mmin/Mmax (a spec-conforming consumer would otherwise see a
+    corrupt measure range)."""
+    valid = vals[vals > -1e38]
+    return _rng(valid)
+
+
+def _zm_block(vals: np.ndarray, measure: bool = False) -> bytes:
     """(min, max) header + value array — the spec's Z/M block shape."""
-    return struct.pack("<2d", *_rng(vals)) + vals.astype("<f8").tobytes()
+    rng = _m_rng(vals) if measure else _rng(vals)
+    return struct.pack("<2d", *rng) + vals.astype("<f8").tobytes()
 
 
 def write_shp(path_base: str, shapes: list[list[np.ndarray]],
@@ -98,8 +107,8 @@ def write_shp(path_base: str, shapes: list[list[np.ndarray]],
     bbox = ((float(allv[:, 0].min()), float(allv[:, 1].min()),
              float(allv[:, 0].max()), float(allv[:, 1].max()))
             if allv.size else (0.0, 0.0, 0.0, 0.0))
-    zmr = ((*_rng(allv[:, 2]), *_rng(allv[:, 3])) if width == 4
-           else (0.0, 0.0, *_rng(allv[:, 2])) if width == 3
+    zmr = ((*_rng(allv[:, 2]), *_m_rng(allv[:, 3])) if width == 4
+           else (0.0, 0.0, *_m_rng(allv[:, 2])) if width == 3
            else (0.0, 0.0, 0.0, 0.0))
     records, index = [], []
     offset_words = 50  # header = 100 bytes
@@ -126,9 +135,10 @@ def write_shp(path_base: str, shapes: list[list[np.ndarray]],
             content += pts[:, :2].astype("<f8").tobytes()
             if width == 4:
                 # spec: Zmin,Zmax + Z array, then Mmin,Mmax + M array
-                content += _zm_block(pts[:, 2]) + _zm_block(pts[:, 3])
-            elif width == 3:
                 content += _zm_block(pts[:, 2])
+                content += _zm_block(pts[:, 3], measure=True)
+            elif width == 3:
+                content += _zm_block(pts[:, 2], measure=True)
         words = len(content) // 2
         records.append(struct.pack(">ii", i + 1, words) + content)
         index.append(struct.pack(">ii", offset_words, words))

@@ -249,6 +249,29 @@ def test_shapefile_m_and_multipoint_types(tmp_path):
         np.testing.assert_array_equal(got[0][0], rec)
 
 
+def test_shapefile_m_range_excludes_nodata(tmp_path):
+    """Per spec, NODATA measures (< -1e38) must not pollute Mmin/Mmax
+    in the file header or the record's M block."""
+    import struct
+
+    from geocoordinateconverter_spark.sources import shapefile as shp
+    base = str(tmp_path / "mnodata")
+    line = np.array([[0., 0., 2.5], [1., 0., shp.M_NODATA],
+                     [2., 0., 7.5]])
+    shp.write_shp(base, [[line]], shp.SHP_POLYLINEM)
+    raw = open(base + ".shp", "rb").read()
+    hdr_mmin, hdr_mmax = struct.unpack("<2d", raw[84:100])
+    assert (hdr_mmin, hdr_mmax) == (2.5, 7.5)
+    # record: 100 (file hdr) + 8 (rec hdr) + 4 (type) + 32 (box) +
+    # 4+4 (nparts,npts) + 4 (parts) + 48 (3 xy pairs) → M block
+    mo = 100 + 8 + 4 + 32 + 8 + 4 + 48
+    rec_mmin, rec_mmax = struct.unpack("<2d", raw[mo:mo + 16])
+    assert (rec_mmin, rec_mmax) == (2.5, 7.5)
+    # values themselves still roundtrip bit-exactly, sentinel included
+    _, got = shp.read_shp(base)
+    np.testing.assert_array_equal(got[0][0], line)
+
+
 def test_shapefile_null_shape_records(tmp_path):
     """A null-shape (type 0) record inside a Polygon file survives the
     roundtrip as an empty record and contributes no vertex rows."""

@@ -51,17 +51,24 @@ def run_level(cores: int, mult: int, retries: int = 1) -> float:
     that way)."""
     code = RUNNER.format(repo=str(REPO), cores=cores, mult=mult)
     last_err = ""
-    for _ in range(retries + 1):
-        out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
-                             capture_output=True, text=True, timeout=1200)
-        if out.returncode == 0:
+    for attempt in range(retries + 1):
+        try:
+            out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                                 capture_output=True, text=True,
+                                 timeout=1200)
+        except subprocess.TimeoutExpired:
+            # a wedged JVM (GC death spiral) is as transient as a crash
+            last_err = f"timeout after 1200s (attempt {attempt + 1})"
+            out = None
+        if out is not None and out.returncode == 0:
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("RESULT ")][-1]
             return json.loads(line[len("RESULT "):])["wall"]
-        last_err = out.stderr[-2000:]
-        print(f"# level cores={cores} failed (rc={out.returncode}), "
-              f"retrying; stderr tail:\n{last_err}", file=sys.stderr,
-              flush=True)
+        if out is not None:
+            last_err = out.stderr[-2000:]
+        if attempt < retries:
+            print(f"# level cores={cores} failed, retrying; cause:\n"
+                  f"{last_err}", file=sys.stderr, flush=True)
     raise RuntimeError(
         f"level cores={cores} failed after {retries + 1} attempts:\n"
         f"{last_err}")

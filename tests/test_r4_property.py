@@ -145,6 +145,40 @@ def test_multispace_adjacency_kernel_twin_oracle_agree(spark):
     assert kj == oj
 
 
+def test_shapefile_zm_roundtrip_property(tmp_path):
+    """Property: any finite float64 vertex set (any magnitude/sign,
+    including NODATA-range measures) roundtrips bit-exactly through
+    every Z/M shape family, with part structure preserved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geocoordinateconverter_spark.sources import shapefile as shp
+
+    finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(  # records: list of parts: list of (x,y,z,m)
+        st.lists(st.lists(st.tuples(finite, finite, finite, finite),
+                          min_size=1, max_size=6),
+                 min_size=0, max_size=3),
+        min_size=1, max_size=4))
+    def check(recs):
+        for t, w in ((shp.SHP_POLYGONZ, 4), (shp.SHP_POLYLINEM, 3),
+                     (shp.SHP_POLYGON, 2)):
+            shapes = [[np.array(p, dtype=np.float64)[:, :w]
+                       for p in rec] for rec in recs]
+            base = str(tmp_path / f"prop{t}")
+            shp.write_shp(base, shapes, t)
+            st_, got = shp.read_shp(base)
+            assert st_ == t and len(got) == len(shapes)
+            for srec, grec in zip(shapes, got):
+                assert len(srec) == len(grec)
+                for sp, gp in zip(srec, grec):
+                    np.testing.assert_array_equal(sp, gp)
+
+    check()
+
+
 def _union_find_labels(n_nodes, edges):
     parent = list(range(n_nodes))
 

@@ -174,9 +174,12 @@ HOST_SRC = ("(SELECT concat('https://w', cast(doc_id % 53 as string), "
 
 # DMS presentation formatting (util.c F2): D/M/S via integer math on
 # 0.1″-scaled total seconds + printf — dialect-neutral, pure codegen.
-_TOT = "cast(floor(fi * 36000.0e0) as bigint)"
+# Sign factored out first; integer math runs on the magnitude (floor
+# toward −inf + sign-preserving % would corrupt negative coordinates).
+_TOT = "cast(floor(abs(fi) * 36000.0e0) as bigint)"
 DMS_FMT_SQL = (
-    f"concat(cast(cast(floor({_TOT} / 36000.0e0) as bigint) as string), 'd', "
+    f"concat(case when fi < 0.0e0 then '-' else '' end, "
+    f"cast(cast(floor({_TOT} / 36000.0e0) as bigint) as string), 'd', "
     f"cast(cast(floor(({_TOT} % 36000) / 600.0e0) as bigint) as string), 'm', "
     f"printf('%.1f', cast({_TOT} % 600 as double) / 10.0e0), 's')")
 

@@ -34,9 +34,14 @@ OUT_GEOGRAPHIC = {1, 3, 7}  # chains producing (fi, la, h)
 
 
 def _dms_col(deg_col) -> F.Column:
-    """decimal degrees → 'DdMmS.Ss' (util.c F2 arithmetic, codegen)."""
-    tot = F.floor(deg_col * F.lit(36000.0)).cast("bigint")
+    """decimal degrees → '[-]DdMmS.Ss' (util.c F2 arithmetic, codegen).
+    Sign is factored out FIRST and the D/M/S integer math runs on the
+    magnitude — floor toward −inf plus sign-preserving % would
+    otherwise emit garbage like '-1d-30m-0.0s' for southern/western
+    coordinates (r4 review finding)."""
+    tot = F.floor(F.abs(deg_col) * F.lit(36000.0)).cast("bigint")
     return F.concat(
+        F.when(deg_col < 0, F.lit("-")).otherwise(F.lit("")),
         F.floor(tot / F.lit(36000.0)).cast("bigint").cast("string"), F.lit("d"),
         F.floor((tot % 36000) / F.lit(600.0)).cast("bigint").cast("string"),
         F.lit("m"),

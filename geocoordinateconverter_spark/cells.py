@@ -64,8 +64,8 @@ def decode(cell: np.ndarray):
 
 def cell_center(cell: np.ndarray):
     res, ix, iy = decode(cell)
-    n = BASE_N * (1 << res).astype(np.int64) if isinstance(res, np.ndarray) else n_cells(int(res))
-    n = (BASE_N * (2 ** res.astype(np.float64))) if isinstance(res, np.ndarray) else float(n)
+    n = (BASE_N * (2 ** res.astype(np.float64))) if isinstance(res, np.ndarray) \
+        else float(n_cells(int(res)))
     la = BBOX_LA_MIN + (ix + 0.5) / n * LA_SPAN
     fi = BBOX_FI_MIN + (iy + 0.5) / n * FI_SPAN
     return fi, la

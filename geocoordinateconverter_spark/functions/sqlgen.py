@@ -26,7 +26,9 @@ import numpy as np
 
 from .. import geodesy
 from ..constants import (
+    BBOX_FI_MAX,
     BBOX_FI_MIN,
+    BBOX_LA_MAX,
     BBOX_LA_MIN,
     D48_GK,
     D96_TM,
@@ -35,7 +37,7 @@ from ..constants import (
     Projection,
 )
 from ..geodesy import XYZ2FILA_ITERS, _HELMERT_M, _HELMERT_M_INV, _HELMERT_T
-from ..geoid import GRIDS
+from ..geoid import GRID_PARAMS, GRIDS
 
 
 def f(v: float) -> str:
@@ -123,15 +125,15 @@ def _xy2geo_layers(proj: Projection, src: str, keep: str,
  SELECT {keep}, h, y,
         fi1 - (n1 * t / r1) * (
             d*d / 2.0e0
-            - ({f(5.0)} + {f(3.0)}*t*t + {f(10.0)}*c1 - {f(4.0)}*c1*c1 - {f(9.0)}*{f(e.ep2)}) * (d*d*d*d) / {f(24.0)}
-            + ({f(61.0)} + {f(90.0)}*t*t + {f(298.0)}*c1 + {f(45.0)}*t*t*t*t
-               - {f(252.0)}*{f(e.ep2)} - {f(3.0)}*c1*c1) * (d*d*d*d*d*d) / {f(720.0)}
+            - ({f(5.0)} + {f(3.0)}*t*t + {f(10.0)}*c1 - {f(4.0)}*c1*c1 - {f(9.0)}*{f(e.ep2)}) * ((d*d)*(d*d)) / {f(24.0)}
+            + ({f(61.0)} + {f(90.0)}*t*t + {f(298.0)}*c1 + {f(45.0)}*((t*t)*(t*t))
+               - {f(252.0)}*{f(e.ep2)} - {f(3.0)}*c1*c1) * (((d*d)*(d*d))*(d*d)) / {f(720.0)}
         ) AS fi_rad,
         {f(np.deg2rad(proj.lon0_deg))} + (
             d
             - ({f(1.0)} + {f(2.0)}*t*t + c1) * (d*d*d) / {f(6.0)}
             + ({f(5.0)} - {f(2.0)}*c1 + {f(28.0)}*t*t - {f(3.0)}*c1*c1
-               + {f(8.0)}*{f(e.ep2)} + {f(24.0)}*t*t*t*t) * (d*d*d*d*d) / {f(120.0)}
+               + {f(8.0)}*{f(e.ep2)} + {f(24.0)}*((t*t)*(t*t))) * (((d*d)*(d*d))*d) / {f(120.0)}
         ) / cf AS la_rad
  FROM (
    SELECT {keep}, h, y, fi1, t, c1, n1,
@@ -178,15 +180,15 @@ def geo2xy_sql(proj: Projection, src: str, keep: str) -> str:
 (SELECT {keep}, h,
         {f(proj.k0)} * (m + n * t * (
             aa*aa / {f(2.0)}
-            + ({f(5.0)} - t*t + {f(9.0)}*c + {f(4.0)}*c*c) * (aa*aa*aa*aa) / {f(24.0)}
-            + ({f(61.0)} - {f(58.0)}*t*t + t*t*t*t + {f(600.0)}*c - {f(330.0)}*{f(e.ep2)})
-              * (aa*aa*aa*aa*aa*aa) / {f(720.0)}
+            + ({f(5.0)} - t*t + {f(9.0)}*c + {f(4.0)}*c*c) * ((aa*aa)*(aa*aa)) / {f(24.0)}
+            + ({f(61.0)} - {f(58.0)}*t*t + ((t*t)*(t*t)) + {f(600.0)}*c - {f(330.0)}*{f(e.ep2)})
+              * (((aa*aa)*(aa*aa))*(aa*aa)) / {f(720.0)}
         )) + {f(proj.false_northing)} AS x,
         {f(proj.false_easting)} + {f(proj.k0)} * n * (
             aa
             + ({f(1.0)} - t*t + c) * (aa*aa*aa) / {f(6.0)}
-            + ({f(5.0)} - {f(18.0)}*t*t + t*t*t*t + {f(72.0)}*c - {f(58.0)}*{f(e.ep2)})
-              * (aa*aa*aa*aa*aa) / {f(120.0)}
+            + ({f(5.0)} - {f(18.0)}*t*t + ((t*t)*(t*t)) + {f(72.0)}*c - {f(58.0)}*{f(e.ep2)})
+              * (((aa*aa)*(aa*aa))*aa) / {f(120.0)}
         ) AS y
  FROM (
    SELECT {keep}, h,
@@ -321,7 +323,7 @@ def t6_sql(src: str, keep: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _grid_node_sql(g, lat: str, lon: str) -> str:
-    amp1, amp2, base = {"slo": (2.1, 1.7, 46.5), "egm": (1.6, 2.3, 46.1)}[g.name]
+    amp1, amp2, base = GRID_PARAMS[g.name]  # geoid.py is the source
     return (f"({f(base)} + {f(amp1)} * sin({f(3.0)} * (({lat}) - {f(BBOX_FI_MIN)}))"
             f" + {f(amp2)} * cos({f(2.5)} * (({lon}) - {f(BBOX_LA_MIN)}))"
             f" + {f(0.15)} * sin({f(7.0)} * (({lat}) - {f(BBOX_FI_MIN)}))"
@@ -332,8 +334,10 @@ def geoid_sql(src: str, keep: str, model: str = "slo") -> str:
     """Undulation N(fi, la) — src exposes fi, la (degrees)."""
     g = GRIDS[model]
     # node lat/lon exactly as numpy builds them: lat = FI_MIN + span*i/(nrows-1)
-    lat_node = lambda i: (f"({f(BBOX_FI_MIN)} + {f(1.75)} * ({i}) / {f(float(g.nrows - 1))})")  # noqa: E731
-    lon_node = lambda j: (f"({f(BBOX_LA_MIN)} + {f(3.5)} * ({j}) / {f(float(g.ncols - 1))})")  # noqa: E731
+    fi_span = BBOX_FI_MAX - BBOX_FI_MIN  # spans derived, not hardcoded
+    la_span = BBOX_LA_MAX - BBOX_LA_MIN
+    lat_node = lambda i: (f"({f(BBOX_FI_MIN)} + {f(fi_span)} * ({i}) / {f(float(g.nrows - 1))})")  # noqa: E731
+    lon_node = lambda j: (f"({f(BBOX_LA_MIN)} + {f(la_span)} * ({j}) / {f(float(g.ncols - 1))})")  # noqa: E731
     return f"""
 (SELECT {keep},
         (case when inside then

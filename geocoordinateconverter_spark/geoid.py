@@ -66,9 +66,14 @@ def _synthetic_grid(name: str, nrows: int, ncols: int,
     )
 
 
+# Single source of truth for the synthetic-surface parameters — the
+# SQL oracle generator (functions/sqlgen.geoid_sql) reads THIS table,
+# so engine and oracle cannot silently desynchronize (r4 review).
+GRID_PARAMS = {"slo": (2.1, 1.7, 46.5), "egm": (1.6, 2.3, 46.1)}
+
 # Arc-minute-scale resolution like the real SLO-AMG2000 grid
-GEOID_SLO = _synthetic_grid("slo", nrows=106, ncols=211, amp1=2.1, amp2=1.7, base=46.5)
-GEOID_EGM = _synthetic_grid("egm", nrows=71, ncols=141, amp1=1.6, amp2=2.3, base=46.1)
+GEOID_SLO = _synthetic_grid("slo", 106, 211, *GRID_PARAMS["slo"])
+GEOID_EGM = _synthetic_grid("egm", 71, 141, *GRID_PARAMS["egm"])
 
 GRIDS = {"slo": GEOID_SLO, "egm": GEOID_EGM}
 

@@ -122,8 +122,11 @@ def knn_kernel_udf(n_st: int, k: int):
 def knn_join(points: DataFrame, spark: SparkSession, key: str,
              fi_col: str = "fi", la_col: str = "la", k: int = 3,
              n_st: int = 25, method: str = "kernel") -> DataFrame:
+    # all methods emit at most n_st rows per point — clamp ONCE so the
+    # three strategies behave identically for k > n_st (the cellring
+    # bound would otherwise index past the station matrix; r4 review)
+    k = min(k, n_st)
     if method == "kernel":
-        k = min(k, n_st)  # window form emits at most n_st rows per point
         udf = knn_kernel_udf(n_st, k)
         nn = points.withColumn("_nn", udf(F.col(fi_col), F.col(la_col)))
         structs = F.array(*[
@@ -167,10 +170,22 @@ def knn_join(points: DataFrame, spark: SparkSession, key: str,
                              + (jx << cells.IX_SHIFT) + jy, i))
         rings = spark.createDataFrame(ring_rows, "cell bigint, station_id int")
         from ..kernels import cell_col
-        pts = points.withColumn("cell", cell_col(F.col(fi_col), F.col(la_col), KNN_CELL_RES))
-        cand = (pts.join(F.broadcast(rings), "cell")
-                .join(F.broadcast(st), "station_id")
-                .drop("cell"))
+        # The ring-radius bound is proven over the WORKING BBOX only:
+        # cells.encode clips an out-of-bbox point into an edge cell,
+        # whose ring need not contain that point's true k-th NN.  Such
+        # points take the broadcast (exact) candidate set instead —
+        # correct for any input, and a no-op for in-bbox corpora
+        # (r4 review finding).
+        in_bbox = (F.col(fi_col).between(BBOX_FI_MIN, BBOX_FI_MAX)
+                   & F.col(la_col).between(BBOX_LA_MIN, BBOX_LA_MAX))
+        pts = (points.filter(in_bbox)
+               .withColumn("cell", cell_col(F.col(fi_col), F.col(la_col),
+                                            KNN_CELL_RES)))
+        cand_in = (pts.join(F.broadcast(rings), "cell")
+                   .join(F.broadcast(st), "station_id")
+                   .drop("cell"))
+        cand_out = points.filter(~in_bbox).join(F.broadcast(st))
+        cand = cand_in.unionByName(cand_out)
     else:
         raise ValueError(method)
     w = Window.partitionBy(key).orderBy(

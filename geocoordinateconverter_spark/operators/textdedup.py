@@ -363,7 +363,8 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_N_BANDS
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
                            max_bucket: int = MAX_BUCKET,
-                           sh: DataFrame | None = None) -> DataFrame:
+                           sh: DataFrame | None = None,
+                           cache: list | None = None) -> DataFrame:
     """SimHash Hamming-ball candidate pairs: band the fingerprint into
     ``SIMHASH_N_BANDS`` equal bit slices and self-equi-join on
     (band, band_val) — by pigeonhole, any pair within Hamming distance
@@ -381,8 +382,14 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
          .withColumn("band_val", F.expr(
              f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {mask}")))
     wb = Window.partitionBy("band", "band_val")
+    # persisted because the self-join reads it twice (the fingerprint
+    # kernel + window bucket filter would otherwise run per side) —
+    # same caller-owned cache contract as minhash_pairs
     b = (b.withColumn("bsize", F.count("*").over(wb))
-         .filter(F.col("bsize") <= max_bucket).drop("bsize"))
+         .filter(F.col("bsize") <= max_bucket).drop("bsize")
+         .persist())
+    if cache is not None:
+        cache.append(b)
     return (b.alias("a")
             .join(b.alias("b"),
                   (F.col("a.band") == F.col("b.band"))
@@ -555,12 +562,14 @@ def powmod_sql(k_expr: str) -> str:
 
 
 def bpe_token_stats(docs: DataFrame) -> DataFrame:
-    """Whitespace + BPE-ish token counts per doc (brief: token counting)."""
+    """Whitespace + BPE-ish token counts per doc (brief: token counting).
+    Zero-token docs yield NULL bpe_per_word (the DuckDB /0 result) —
+    guarded against the ANSI DIVIDE_BY_ZERO crash."""
     ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
     return docs.select("doc_id", ws.alias("n_ws_tokens"),
                        bpe.alias("n_bpe_tokens"),
-                       (bpe / ws).alias("bpe_per_word"))
+                       (bpe / F.when(ws > 0, ws)).alias("bpe_per_word"))
 
 
 BPE_TOKEN_STATS_SQL = f"""
@@ -708,13 +717,18 @@ def text_stats(docs: DataFrame) -> DataFrame:
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tok = F.size(toks)
+    # zero-token docs must yield NULL ratios (DuckDB's /0 result), not
+    # an ANSI DIVIDE_BY_ZERO crash — same guard class as
+    # c4_quality_filter (r4 review finding)
+    guard = F.when(n_tok > 0, n_tok)
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         F.length("text").alias("n_chars_m"),
         n_stop.alias("n_stopwords"),
-        (n_stop / F.size(toks)).alias("stopword_ratio"),
-        (F.length("text") / F.size(toks)).alias("avg_token_len"),
+        (n_stop / guard).alias("stopword_ratio"),
+        (F.length("text") / guard).alias("avg_token_len"),
         F.md5(F.lower(F.regexp_replace("text", " +", " "))).alias("fingerprint"),
     )
 

@@ -74,16 +74,19 @@ def salted_tile_agg(points: DataFrame, key: str, fi: str = "fi",
     salted = (points
               .withColumn("cell", cell_col(F.col(fi), F.col(la), res))
               .withColumn("salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salt))))
+    # exact distinct only: salt partitions a HASH of key, so per-salt
+    # distinct sets are disjoint and their sum is the exact cell
+    # distinct.  (An earlier draft also computed a per-salt HLL sketch
+    # here, but it was never merged or returned — Catalyst pruned it —
+    # so it was removed rather than left as a misleading "fast path";
+    # the approximate variant at scale is approx_count_distinct WITHOUT
+    # salting, since HLL merge is already skew-immune.)
     partial = (salted.groupBy("cell", "salt")
                .agg(F.count("*").alias("n_part"),
-                    F.approx_count_distinct(key, 0.01).alias("nd_part"),
                     F.countDistinct(key).alias("ndx_part")))
     return (partial.groupBy("cell")
             .agg(F.sum("n_part").alias("n_pts"),
                  F.sum("ndx_part").alias("n_distinct")))
-    # nd_part (HLL) intentionally not merged by sum — kept at stage 1 as
-    # the approximate fast path; exact merge uses ndx (salt partitions a
-    # hash of key, so per-salt distinct sets are disjoint → sum is exact).
 
 
 def tile_topk_points(points: DataFrame, key: str, fi: str = "fi",

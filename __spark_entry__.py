@@ -43,7 +43,8 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
 
 
 # Integer key column spanning the largest table: lineitem rows keyed by
-# 4·l_orderkey + l_linenumber (unique, dense enough for mixing).
+# 8·l_orderkey + l_linenumber — unique because l_linenumber ∈ 1..7
+# (TPC-H invariant), dense enough for the integer mixing.
 LKEY = "(l_orderkey * 8 + l_linenumber)"
 
 _GK = sg.gk_points_sql("k")
@@ -975,11 +976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      for k in kinds]))
     q["pivot_events_by_type"] = q_pivot
 
-    def q_ann_recall(spark, sf_dir):
-        # self-measuring quality diagnostic: recall@5 of each ANN scale
-        # path vs the exact brute-force top-5, per method
-        _register(spark, sf_dir)
-        emb = spark.table("embeddings")
+    def _recall_report(emb):
+        # recall@5 of each ANN scale path vs the exact brute-force
+        # top-5, per method — shared by the uniform- and
+        # clustered-fixture diagnostics
         exact = sim.brute_force_topk(emb, k=5).select("q_id", "vec_id")
         nq = exact.select("q_id").distinct().count()  # tiny scalar
         parts = []
@@ -998,33 +998,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def q_ann_recall(spark, sf_dir):
+        _register(spark, sf_dir)
+        return _recall_report(spark.table("embeddings"))
     q["ann_recall_report"] = q_ann_recall
 
     def q_ann_recall_clustered(spark, sf_dir):
         # same diagnostic over the deterministic 16-cluster fixture —
-        # the case a working IVF must win: IVF > LSH > chance and
-        # nprobe≥1-probe (pytest asserts those orderings; the oracle
+        # the case a working bucketed-ANN must win (pytest asserts
+        # beats-chance/beats-uniform/nprobe-monotone; the oracle
         # asserts the exact numbers)
         _register(spark, sf_dir)
-        emb = sim.clustered_embeddings(spark.table("embeddings"))
-        exact = sim.brute_force_topk(emb, k=5).select("q_id", "vec_id")
-        nq = exact.select("q_id").distinct().count()  # tiny scalar
-        parts = []
-        for m, df in (("lsh", sim.lsh_topk(emb, k=5)),
-                      ("ivf", sim.ivf_topk(emb, k=5)),
-                      ("ivf_nprobe", sim.ivf_nprobe_topk(emb, k=5, nprobe=3))):
-            hits = (df.select("q_id", "vec_id")
-                    .join(exact, ["q_id", "vec_id"])
-                    .agg(F.count("*").alias("n_hits"))
-                    .select(F.lit(m).alias("method"), "n_hits",
-                            F.round(F.col("n_hits")
-                                    / F.lit(float(5 * nq)), 9)
-                            .alias("recall_at_5")))
-            parts.append(hits)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return _recall_report(
+            sim.clustered_embeddings(spark.table("embeddings")))
     q["ann_recall_report_clustered"] = q_ann_recall_clustered
 
     def q_stream_flagship(spark, sf_dir):

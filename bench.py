@@ -5,8 +5,9 @@ Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line::
 
     {"metric": ..., "value": <flagship wall s>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": ...,
-     "flagship_rows": N, "flagship_docs_per_sec": X}
+     "queries": {...per-query sec...}, "query_runs": {...}, "sf": ...,
+     "flagship_input_rows": N, "flagship_out_rows": M,
+     "flagship_docs_per_sec": X}
 
 The flagship query IS the BASELINE.json metric pipeline: derive D48/GK
 coordinates for every lineitem row (codegen) → t=3 datum conversion
@@ -35,7 +36,6 @@ from geocoordinateconverter_spark import kernels  # noqa: E402
 from geocoordinateconverter_spark.operators import pip as pip_op  # noqa: E402
 from geocoordinateconverter_spark.operators import similarity as sim  # noqa: E402
 from geocoordinateconverter_spark.operators import textdedup as td  # noqa: E402
-from geocoordinateconverter_spark.operators import tiles  # noqa: E402
 from geocoordinateconverter_spark.plans.session import build_session  # noqa: E402
 from geocoordinateconverter_spark.sources import webpages as wp  # noqa: E402
 
@@ -85,6 +85,10 @@ def flagship(spark, sf_dir, mult: int = 1):
 
 
 def q_tile(spark, sf_dir):
+    # intentionally NOT entrymod's tile_t3_cells (which adds a rounded
+    # avg_h for its oracle): this count-only form has been the timed
+    # workload since round 1, and changing it would break cross-round
+    # bench comparability
     src = spark.sql(f"SELECT * FROM {entrymod.SRC_GK_LINEITEM}")
     t3 = kernels.transform_udf(3)
     conv = src.withColumn("o", t3(F.col("x"), F.col("y"), F.col("h")))

@@ -83,6 +83,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            # a misspelled name must NOT produce a '0 passed' exit-0
+            # false green (r4 review finding)
+            print(f"ERROR: unknown query name(s): {unknown}")
+            return 2
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -117,8 +124,13 @@ def main() -> int:
             print(f"pass {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
         # per-query hygiene: drop explicit Spark caches (minhash band
-        # tables etc. stack per query) and large pandas frames
+        # tables etc. stack per query) and large pandas frames.  The
+        # shared-pairs memo must be reset WITH the cache — otherwise
+        # the next minhash consumer reuses a memoized plan whose
+        # persist clearCache() just emptied and recomputes the band
+        # table twice, uncached (r4 review finding).
         del sdf, odf
+        entrymod._PAIRS_MEMO.clear()
         spark.catalog.clearCache()
         gc.collect()
     print(f"\n{n_pass} passed, {n_fail} failed")

@@ -120,14 +120,21 @@ def main() -> None:
         "raw_scaling_efficiency": round(raw_eff, 3),
         "hw_sin_ceiling_scale": round(hw_scale, 2),
         "hw_efficiency": round(hw_eff, 3),
+        # raw value always recorded; the clamped headline is flagged so
+        # a cap never silently fabricates the archived measurement
+        "structural_efficiency_raw": round(structural, 3),
         "structural_efficiency": round(min(structural, 1.5), 3),
+        "structural_clamped": structural > 1.5,
     }
     print(json.dumps(result))
 
     # BENCH/BASELINE.md is curated by hand (it aggregates several
     # protocol variants); this tool only records its raw JSON.
+    # Output name is an argument so reruns don't overwrite earlier
+    # rounds' evidence.
+    out_name = sys.argv[4] if len(sys.argv) > 4 else "scaling_r1.json"
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "scaling_r1.json").write_text(json.dumps(result, indent=2))
+    (REPO / "BENCH" / out_name).write_text(json.dumps(result, indent=2))
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ Usage: python tools/scaling_interleaved.py [N] [mult] [rounds] [out_name]
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -33,9 +34,10 @@ from geocoordinateconverter_spark.plans.session import build_session
 
 cores, mult = {cores}, {mult}
 spark = build_session("scaling", cores=cores, shuffle_partitions=cores)
-em._register(spark, "/root/testdata/sf0.1")
+sf_dir = {sf_dir!r}
+em._register(spark, sf_dir)
 import bench
-full = bench.flagship(spark, "/root/testdata/sf0.1", mult)
+full = bench.flagship(spark, sf_dir, mult)
 full.count()  # warm-up
 t0 = time.time(); full.count(); wall = time.time() - t0
 t0 = time.time(); full.count(); wall = min(wall, time.time() - t0)
@@ -49,7 +51,9 @@ def run_level(cores: int, mult: int, retries: int = 1) -> float:
     OOM, py4j hiccup) is retried once with its stderr surfaced instead
     of silently killing the whole multi-round window (r4 lost a round
     that way)."""
-    code = RUNNER.format(repo=str(REPO), cores=cores, mult=mult)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    code = RUNNER.format(repo=str(REPO), cores=cores, mult=mult,
+                         sf_dir=sf_dir)
     last_err = ""
     for attempt in range(retries + 1):
         try:
@@ -61,9 +65,13 @@ def run_level(cores: int, mult: int, retries: int = 1) -> float:
             last_err = f"timeout after 1200s (attempt {attempt + 1})"
             out = None
         if out is not None and out.returncode == 0:
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("RESULT ")][-1]
-            return json.loads(line[len("RESULT "):])["wall"]
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("RESULT ")]
+            if lines:
+                return json.loads(lines[-1][len("RESULT "):])["wall"]
+            # exit 0 but stdout swallowed — treat as transient too
+            last_err = "rc=0 but no RESULT line in stdout"
+            out = None
         if out is not None:
             last_err = out.stderr[-2000:]
         if attempt < retries:

@@ -179,6 +179,51 @@ def test_shapefile_zm_roundtrip_property(tmp_path):
     check()
 
 
+def test_geoparse_regex_dialect_parity(spark):
+    """The geoparse SQL runs the SAME regex strings through Java regex
+    (Spark) and RE2 (DuckDB).  The patterns are plain character
+    classes, but the engines must also agree on first-match selection,
+    all-match order, and non-match behavior — asserted on adversarial
+    texts the fixture corpus never contains."""
+    import duckdb
+    import pandas as pd
+
+    from geocoordinateconverter_spark.sources import webpages as wp
+    texts = [
+        "x=1.5 y=2.5 H=3.5",                       # plain
+        "x=1.5 y=2.5 H=3.5 x=9.9 y=8.8 H=7.7",     # two matches: first wins
+        "x=1.5 y=25 H=3.5",                        # y missing decimals
+        "x=001.50000 y=00002.5 H=3.50",            # leading zeros
+        "lat 46.05N lon 14.50E",
+        "lat 46.05Nlon 14.50E",                    # missing separator
+        "lat 46.05N lon 14.50E lat 47.0N",         # dangling extra lat
+        "lat 1.2N lat 3.4N lat 5.6N",              # repeated one-sided
+        "pre\nx=1.5 y=2.5 H=3.5\npost",            # embedded newlines
+        "x=123456789.123456789 y=2.5 H=3.5",       # long digit runs
+        "",                                        # empty
+        "no coordinates at all",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "page_text": texts})
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("pages", pdf)
+
+    for pat, grp in ((wp.RE_GK, 1), (wp.RE_GK, 2), (wp.RE_GK, 3),
+                     (wp.RE_DD, 1), (wp.RE_DD, 2)):
+        q = (f"SELECT doc_id, regexp_extract(page_text, '{pat}', {grp}) "
+             f"AS v FROM pages ORDER BY doc_id")
+        sdf.createOrReplaceTempView("pages")
+        a = [r.v for r in spark.sql(q).collect()]
+        b = [r[1] for r in con.execute(q).fetchall()]
+        assert a == b, (pat, grp, a, b)
+
+    q_all = (f"SELECT doc_id, regexp_extract_all(page_text, "
+             f"'{wp.RE_DD_ONE}', 1) AS vs FROM pages ORDER BY doc_id")
+    a = [list(r.vs) for r in spark.sql(q_all).collect()]
+    b = [list(r[1]) for r in con.execute(q_all).fetchall()]
+    assert a == b
+
+
 def _union_find_labels(n_nodes, edges):
     parent = list(range(n_nodes))
 

@@ -102,11 +102,19 @@ def webpages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # page text → typed coordinate candidates.  Patterns are kept to the
 # regex subset with identical semantics in Java regex (Spark) and RE2
 # (DuckDB): literal text, [0-9], quantifiers, groups.
+#
+# HARD RULE (r4): patterns must contain NO backslash.  These strings
+# are embedded in SQL literals run by BOTH engines, and Spark SQL
+# unescapes '\.' in a single-quoted literal to a bare '.' wildcard
+# while DuckDB keeps it — the same source text silently runs two
+# DIFFERENT regexes (measured: Spark matched 'x=1a5', DuckDB didn't).
+# Escape dots as the character class [.] instead; pytest
+# test_geoparse_regex_dialect_parity pins the divergent case.
 # ---------------------------------------------------------------------------
 
-RE_DD = r"lat ([0-9]+\.[0-9]+)N lon ([0-9]+\.[0-9]+)E"
-RE_GK = r"x=([0-9]+\.[0-9]+) y=([0-9]+\.[0-9]+) H=([0-9]+\.[0-9]+)"
-RE_DMS = r"([0-9]+)d([0-9]+)m([0-9]+\.[0-9])s ([0-9]+)d([0-9]+)m([0-9]+\.[0-9])s"
+RE_DD = r"lat ([0-9]+[.][0-9]+)N lon ([0-9]+[.][0-9]+)E"
+RE_GK = r"x=([0-9]+[.][0-9]+) y=([0-9]+[.][0-9]+) H=([0-9]+[.][0-9]+)"
+RE_DMS = r"([0-9]+)d([0-9]+)m([0-9]+[.][0-9])s ([0-9]+)d([0-9]+)m([0-9]+[.][0-9])s"
 
 
 def multi_mention_pages_sql(documents: str = "documents") -> str:
@@ -145,8 +153,8 @@ def multi_mention_pages_sql(documents: str = "documents") -> str:
 
 # one regex, ALL matches: Spark regexp_extract_all + posexplode;
 # DuckDB regexp_extract_all + unnest with ordinality
-RE_DD_ONE = r"lat ([0-9]+\.[0-9]+)N"
-RE_DD_LON = r"lon ([0-9]+\.[0-9]+)E"
+RE_DD_ONE = r"lat ([0-9]+[.][0-9]+)N"
+RE_DD_LON = r"lon ([0-9]+[.][0-9]+)E"
 
 
 def geoparse_multi_spark(spark, pages_view: str):
@@ -252,10 +260,10 @@ def classify_pair_sql(src: str, c1: str = "c1", c2: str = "c2") -> str:
 RE_DD_COMMA = r"lat ([0-9]+,[0-9]+) lon ([0-9]+,[0-9]+)"
 # regex with literal degree/quote symbols; ' doubled when embedded in a
 # SQL string literal (both engines treat ° " ' as plain literals)
-RE_SYM_DMS = ("([0-9]+)°([0-9]+)''([0-9]+\\.[0-9])\" "
-              "([0-9]+)°([0-9]+)''([0-9]+\\.[0-9])\"")
-RE_ALT = r"alt ([0-9]+\.[0-9])m"
-RE_POS_PAIR = r"pos ([0-9]+\.[0-9]+) ([0-9]+\.[0-9]+)"
+RE_SYM_DMS = ("([0-9]+)°([0-9]+)''([0-9]+[.][0-9])\" "
+              "([0-9]+)°([0-9]+)''([0-9]+[.][0-9])\"")
+RE_ALT = r"alt ([0-9]+[.][0-9])m"
+RE_POS_PAIR = r"pos ([0-9]+[.][0-9]+) ([0-9]+[.][0-9]+)"
 
 
 def locale_pages_sql(documents: str = "documents") -> str:

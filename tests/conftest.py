@@ -17,4 +17,3 @@ def spark():
 
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"

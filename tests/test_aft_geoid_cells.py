@@ -9,10 +9,17 @@ import numpy as np
 from geocoordinateconverter_spark import aft, cells, geoid
 from geocoordinateconverter_spark import geodesy as g
 
-rng = np.random.default_rng(7)
-X = rng.uniform(15000, 200000, 20000)
-Y = rng.uniform(370000, 630000, 20000)
-H = rng.uniform(0, 2000, 20000)
+# module data drawn from a DEDICATED generator so per-test draws (each
+# test makes its own default_rng below / via _rng()) cannot change the
+# shared arrays depending on test selection/order (r4 review)
+_module_rng = np.random.default_rng(7)
+X = _module_rng.uniform(15000, 200000, 20000)
+Y = _module_rng.uniform(370000, 630000, 20000)
+H = _module_rng.uniform(0, 2000, 20000)
+
+
+def _rng(seed: int = 7001):
+    return np.random.default_rng(seed)
 
 
 def test_aft_coverage_and_roundtrip():
@@ -59,8 +66,9 @@ def test_aft_vs_helmert_magnitude():
 
 def test_geoid_bilinear_oracle():
     """Bilinear kernel vs direct NumPy oracle at 1e-12 (FIXTURES §6)."""
-    fi = rng.uniform(45.25, 47.0, 5000)
-    la = rng.uniform(13.25, 16.75, 5000)
+    r = _rng(7001)
+    fi = r.uniform(45.25, 47.0, 5000)
+    la = r.uniform(13.25, 16.75, 5000)
     got = geoid.geoid_height(fi, la, "slo")
     gd = geoid.GEOID_SLO
     rf = (fi - gd.lat0) / gd.dlat
@@ -83,8 +91,9 @@ def test_geoid_grid_nodes_and_outside():
 
 
 def test_cells_roundtrip_and_parent():
-    fi = rng.uniform(45.25, 47.0, 10000)
-    la = rng.uniform(13.25, 16.75, 10000)
+    r = _rng(7002)
+    fi = r.uniform(45.25, 47.0, 10000)
+    la = r.uniform(13.25, 16.75, 10000)
     c7 = cells.encode(fi, la, 7)
     res, ix, iy = cells.decode(c7)
     assert (res == 7).all()
@@ -107,8 +116,9 @@ def test_cells_kring_cover():
 
 def test_cells_sql_parity():
     """encode_sql (DuckDB) ≡ encode (NumPy) bit-for-bit."""
-    fi = rng.uniform(45.0, 47.3, 20000)  # includes out-of-bbox clipping
-    la = rng.uniform(13.0, 17.0, 20000)
+    r = _rng(7003)
+    fi = r.uniform(45.0, 47.3, 20000)  # includes out-of-bbox clipping
+    la = r.uniform(13.0, 17.0, 20000)
     con = duckdb.connect()
     con.register("pts", __import__("pandas").DataFrame({"fi": fi, "la": la}))
     got = con.execute(

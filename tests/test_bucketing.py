@@ -15,9 +15,10 @@ from tests.conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def warehouse(spark, tmp_path_factory):
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     yield
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
 def test_bucketed_join_no_shuffle(spark, warehouse):

@@ -8,6 +8,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from geocoordinateconverter_spark import kernels
 from geocoordinateconverter_spark.operators import checkpoint as cp
 from geocoordinateconverter_spark.operators import multimodal as mm
 from geocoordinateconverter_spark.operators import similarity as sim
@@ -62,7 +63,7 @@ def test_streaming_equals_batch(spark, tmp_path_factory):
     q = (sdf.writeStream.format("memory").queryName("winagg")
          .outputMode("complete").option("checkpointLocation", ck)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = (spark.table("winagg").toPandas()
            .sort_values(["win", "event_type"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
@@ -87,7 +88,7 @@ def test_geo_pipeline_streaming_equals_batch(spark, tmp_path_factory):
          .outputMode("complete")
          .option("checkpointLocation", str(base / "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = (spark.table("geotiles").toPandas()
            .sort_values("cell").reset_index(drop=True))
     pd.testing.assert_frame_equal(
@@ -135,9 +136,8 @@ def skewed_pts(spark):
 
 def test_salted_agg_equals_unsalted(spark, skewed_pts):
     plain = (skewed_pts
-             .withColumn("cell", __import__(
-                 "geocoordinateconverter_spark.kernels",
-                 fromlist=["cell_col"]).cell_col(F.col("fi"), F.col("la"), 7))
+             .withColumn("cell",
+                         kernels.cell_col(F.col("fi"), F.col("la"), 7))
              .groupBy("cell")
              .agg(F.count("*").alias("n_pts"),
                   F.countDistinct("k").alias("n_distinct"))
@@ -211,7 +211,7 @@ def test_entry_smoke(spark):
     import __spark_entry__ as e
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0
     assert set(df.columns) == {"cell", "mun_id", "n_docs", "avg_h"}
 
 
@@ -238,7 +238,7 @@ def test_stateful_streaming_dedup(spark, docs, tmp_path_factory):
          .outputMode("update")
          .option("checkpointLocation", str(base / "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = (spark.table("sdedup").toPandas()
            .sort_values("text_md5").reset_index(drop=True))
     # same groups, same keeper, same counts (column name differs: n_dups)

@@ -274,8 +274,8 @@ def test_convert_reverse_default_cols(spark):
     # on-disk order is (la, fi): default cols + reverse must un-swap
     swapped = straight.select(F.col("la").alias("fi"),
                               F.col("fi").alias("la"), "h")
-    a = (api.convert(straight, t=2).select("x_out", "y_out", "h_out")
-         .collect())
-    b = (api.convert(swapped, t=2, reverse=True)
-         .select("x_out", "y_out", "h_out").collect())
-    assert a == b
+    a = sorted(map(tuple, api.convert(straight, t=2)
+                   .select("x_out", "y_out", "h_out").collect()))
+    b = sorted(map(tuple, api.convert(swapped, t=2, reverse=True)
+                   .select("x_out", "y_out", "h_out").collect()))
+    assert a == b  # sorted: collect order is partition-dependent

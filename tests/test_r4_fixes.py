@@ -32,8 +32,6 @@ def test_cc_star_long_chain_and_equivalence(spark):
     40 rounds (here given 60), while large-star/small-star must
     converge within 25 — and both must emit identical labels (the
     component min)."""
-    from pyspark.sql import functions as F
-
     from geocoordinateconverter_spark.operators import textdedup as td
     e = spark.createDataFrame([(i, i + 1) for i in range(40)],
                               "src long, dst long")

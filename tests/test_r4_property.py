@@ -202,6 +202,12 @@ def test_geoparse_regex_dialect_parity(spark):
         "x=123456789.123456789 y=2.5 H=3.5",       # long digit runs
         "",                                        # empty
         "no coordinates at all",
+        # THE divergent case (r4): with a backslash-escaped dot in the
+        # pattern, Spark's SQL-literal unescaping turned '\.' into a
+        # bare '.' wildcard and matched '1a5' while DuckDB did not —
+        # patterns now use [.] and must agree that this does NOT match
+        "x=1a5 y=2.5 H=3.5",
+        "lat 46x05N lon 14.50E",
     ]
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "page_text": texts})
     sdf = spark.createDataFrame(pdf)

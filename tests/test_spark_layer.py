@@ -85,23 +85,26 @@ def test_pip_vs_numpy_oracle(spark, pts_df):
     assert got_set == exp
 
 
-def test_raycast_concave_polygon():
-    """The refine kernel is a general even-odd ray cast: verify on a
-    concave (arrow-head) polygon where half-plane tests would fail."""
+def test_raycast_concave_polygon(spark):
+    """The PRODUCT refine kernel (pip.point_in_polygon_udf) is a
+    general even-odd ray cast: verify it on a concave (arrow-head)
+    polygon where half-plane / convex-only tests would fail.  (The
+    r4 review caught the earlier version of this test asserting on a
+    private re-implementation instead of the kernel — the fixture
+    municipalities are all convex, so the kernel's concave behavior
+    was otherwise untested.)"""
     poly = np.array([[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [2.0, 1.5],
                       [0.0, 4.0], [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]])
     # degenerate repeated vertices are fine for even-odd
-    px = np.array([2.0, 2.0, 0.5, 2.5])
-    py = np.array([0.5, 3.0, 0.5, 2.5])   # (2,3) and (2.5,2.5) in the notch → outside
-    vx, vy = poly[0, :, 0], poly[0, :, 1]
-    inside = np.zeros(4, dtype=bool)
-    for v in range(8):
-        w = (v + 1) % 8
-        crosses = (vy[v] > py) != (vy[w] > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = np.where(crosses, (vx[w] - vx[v]) * (py - vy[v]) / (vy[w] - vy[v]) + vx[v], np.inf)
-        inside ^= crosses & (px < xint)
-    assert list(inside) == [True, False, True, False]
+    px = [2.0, 2.0, 0.5, 2.5]
+    py = [0.5, 3.0, 0.5, 2.5]   # (2,3) and (2.5,2.5) in the notch → outside
+    df = spark.createDataFrame(
+        [(x, y, 0) for x, y in zip(px, py)], "px double, py double, i int")
+    udf = pip_op.point_in_polygon_udf(poly)
+    got = [r.inside for r in
+           df.select(udf(F.col("px"), F.col("py"), F.col("i"))
+                     .alias("inside")).collect()]
+    assert got == [True, False, True, False]
 
 
 def test_knn_methods_agree(spark, pts_df):
@@ -133,7 +136,7 @@ def test_cli_api_parity(spark, pts_df):
                       cols=("c1", "c2", "h")).toPandas().sort_values("k")
     np.testing.assert_array_equal(plain["x_out"].to_numpy(),
                                   rev["x_out"].to_numpy())
-    assert (plain["label"] == plain["label"]).all()  # passthrough exists
+    assert (plain["label"].to_numpy() == rev["label"].to_numpy()).all()  # passthrough survives -r
     # dms twin: api._dms_col ≡ the SQL formatter used by dms_format
     import __spark_entry__ as em
     wgs = src.select("k", "fi")

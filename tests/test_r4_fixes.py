@@ -139,6 +139,46 @@ def test_simhash_kernel_plan_is_map_only(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_dms_negative_coordinates(spark):
+    """Sign is factored out before the D/M/S integer math: southern/
+    western coordinates format as '-DdMmS.Ss', not floor-toward--inf
+    garbage — and the API column agrees with the shared SQL formatter
+    on negatives."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from geocoordinateconverter_spark import api
+    vals = [(-0.5,), (-46.05625,), (0.5,), (46.05625,), (-0.0001,)]
+    df = spark.createDataFrame(vals, "fi double")
+    a = [r.d for r in df.select(api._dms_col(F.col("fi"))
+                                .alias("d")).collect()]
+    assert a[0] == "-0d30m0.0s"
+    assert a[1] == "-46d3m22.5s"
+    assert a[2] == "0d30m0.0s"
+    assert a[3] == "46d3m22.5s"
+    assert not any("d-" in s or "m-" in s for s in a)
+    df.createOrReplaceTempView("dmsneg")
+    b = [r.d for r in spark.sql(
+        f"SELECT {em.DMS_FMT_SQL} AS d FROM dmsneg").collect()]
+    assert a == b
+
+
+def test_knn_cellring_out_of_bbox_points(spark):
+    """Out-of-bbox points take the exact broadcast candidate set (the
+    ring-radius bound is proven over the bbox only): cellring must
+    equal the brute-force path row-for-row on a mixed in/out input."""
+    from geocoordinateconverter_spark.operators import knn as knn_op
+    rows = [(0, 46.1, 14.5), (1, 46.8, 15.9),     # in bbox
+            (2, 49.0, 14.5), (3, 46.1, 19.5),     # out (north / east)
+            (4, 43.9, 12.9), (5, 47.9, 17.1)]     # out (south-west / ne)
+    pts = spark.createDataFrame(rows, "k long, fi double, la double")
+    ring = {(r.k, r.rk): r.station_id for r in knn_op.knn_join(
+        pts, spark, key="k", k=3, method="cellring").collect()}
+    brute = {(r.k, r.rk): r.station_id for r in knn_op.knn_join(
+        pts, spark, key="k", k=3, method="broadcast").collect()}
+    assert ring == brute and len(ring) == 6 * 3
+
+
 def test_checkpoint_torn_manifest_recommits(spark, tmp_path_factory):
     """Crash DURING the manifest write: the manifest dir exists but is
     unreadable (partial/garbage parquet).  The rerun must detect it,

@@ -1057,7 +1057,16 @@ def _cc_star(e: DataFrame, max_iter: int) -> DataFrame:
     same shuffle shape as a label-prop round, just fewer rounds.
     Fixpoint = a star forest rooted at each component's min id.
     Returns (doc_id, label); output contract (and the WITH RECURSIVE
-    oracle) identical to :func:`_cc_label_prop`."""
+    oracle) identical to :func:`_cc_label_prop`.
+
+    Measured tradeoff (sf0.1, local[16]): on the real near-dup graph
+    (shallow, diameter ~3) star runs ~2× label-prop's wall (more jobs
+    per round: two star steps + dedups) — the constant-factor price of
+    the O(log n)-rounds guarantee that label propagation lacks on
+    long-diameter graphs, where its round count (and wall) is
+    unbounded.  Default = star because worst-case robustness is what
+    matters at 10¹² docs; callers with known-shallow graphs can pass
+    ``algorithm='labelprop'``."""
     # canonical storage: (u, v) with u < v, deduped
     edges = (e.filter(F.col("src") != F.col("dst"))
              .select(F.least("src", "dst").alias("u"),

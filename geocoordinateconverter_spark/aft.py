@@ -84,12 +84,30 @@ def _build_tables():
 
 def _affine_from_pairs(s: np.ndarray, d: np.ndarray) -> np.ndarray:
     """Solve per-triangle affine [a b c; d e f] with
-    dx = a·sx + b·sy + c, dy = d·sx + e·sy + f.  s,d: (ntri, 3, 2)."""
-    ntri = s.shape[0]
-    big_a = np.concatenate([s, np.ones((ntri, 3, 1))], axis=2)  # (ntri,3,3)
-    coef_x = np.linalg.solve(big_a, d[:, :, 0])
-    coef_y = np.linalg.solve(big_a, d[:, :, 1])
-    return np.concatenate([coef_x, coef_y], axis=1)  # (ntri, 6)
+    dx = a·sx + b·sy + c, dy = d·sx + e·sy + f.  s,d: (ntri, 3, 2).
+
+    Closed-form Cramer solve (r5, replacing ``np.linalg.solve``): the
+    elementwise expression sequence below is replicated verbatim by
+    ``sqlgen.aft_table_sql`` so the DuckDB oracle derives the SAME
+    float64 coefficients arithmetically instead of embedding 882 rows
+    of literals (the 230 KB statements that pinned the driver's shared
+    connection pool in r4).  LU (LAPACK) and Cramer differ by ulps;
+    both satisfy the FIXTURES.md §6 vertex-consistency invariant, and
+    Spark + oracle move together so parity is unaffected."""
+    x1, y1 = s[:, 0, 0], s[:, 0, 1]
+    x2, y2 = s[:, 1, 0], s[:, 1, 1]
+    x3, y3 = s[:, 2, 0], s[:, 2, 1]
+    u1, v1 = d[:, 0, 0], d[:, 0, 1]
+    u2, v2 = d[:, 1, 0], d[:, 1, 1]
+    u3, v3 = d[:, 2, 0], d[:, 2, 1]
+    det = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+    ca = ((u2 - u1) * (y3 - y1) - (u3 - u1) * (y2 - y1)) / det
+    cb = ((x2 - x1) * (u3 - u1) - (x3 - x1) * (u2 - u1)) / det
+    cc = u1 - ca * x1 - cb * y1
+    cd = ((v2 - v1) * (y3 - y1) - (v3 - v1) * (y2 - y1)) / det
+    ce = ((x2 - x1) * (v3 - v1) - (x3 - x1) * (v2 - v1)) / det
+    cf = v1 - cd * x1 - ce * y1
+    return np.stack([ca, cb, cc, cd, ce, cf], axis=1)  # (ntri, 6)
 
 
 class AftTable:

@@ -377,22 +377,102 @@ def geoid_sql(src: str, keep: str, model: str = "slo") -> str:
 # first = index 2*(i*21+j), upper (p00,p11,p01) = +1).
 # ---------------------------------------------------------------------------
 
+def _aft_grid_verts_sql() -> str:
+    """(vid, sx, sy, dx, dy) — the synthetic AFT tie-point grid (r5,
+    VERDICT r4 Next #1a): source vertices replicate ``np.linspace``
+    bit-for-bit (i·step + start, endpoint pinned) from
+    ``generate_series``; only the 484 destination vertices remain as
+    literals (see inline note).  Replaces 882 triangles × 12 float
+    literals (230 KB, the statements that pinned the driver's DuckDB
+    pool in r4) with ~28 KB."""
+    from ..aft import _GRID_N, _X_MAX, _X_MIN, _Y_MAX, _Y_MIN, _build_tables
+    n = _GRID_N
+    step_x = f((_X_MAX - _X_MIN) / (n - 1))
+    step_y = f((_Y_MAX - _Y_MIN) / (n - 1))
+    # np.linspace pins the endpoint exactly; mirror via the gi/gj guard
+    grid = f"""
+(SELECT vid,
+        (case when gi = {n - 1} then {f(_X_MAX)} else sx end) AS sx,
+        (case when gj = {n - 1} then {f(_Y_MAX)} else sy end) AS sy
+ FROM (SELECT g.v AS vid,
+              cast(floor(g.v / {n}.0e0) as bigint) AS gi,
+              g.v % {n} AS gj,
+              cast(cast(floor(g.v / {n}.0e0) as bigint) as double)
+                * {step_x} + {f(_X_MIN)} AS sx,
+              cast(g.v % {n} as double) * {step_y} + {f(_Y_MIN)} AS sy
+       FROM generate_series(0, {n * n - 1}) AS g(v)) q_g)
+"""
+    # Destination vertices stay as literals: the t5 chain that builds
+    # them agrees with DuckDB only to ~1e-14 (libm sin/cos ulps), so a
+    # chain-generated dst would break the bit-exact t9/t10 parity.
+    # 484 vertex pairs ≈ 27 KB — the 882-triangle table they expand to
+    # in the Cramer layer would be ~9× that.
+    _, dst, _ = _build_tables()
+    rows = ", ".join(f"({i}, {f(dst[i, 0])}, {f(dst[i, 1])})"
+                     for i in range(len(dst)))
+    dst_tbl = f"(SELECT * FROM (VALUES {rows}) AS d(vid, dx, dy))"
+    return (f"(SELECT g.vid AS vid, g.sx AS sx, g.sy AS sy, "
+            f"d.dx AS dx, d.dy AS dy "
+            f"FROM {grid} g JOIN {dst_tbl} d ON d.vid = g.vid)")
+
+
 def aft_values_sql(direction: str = "gk_tm") -> str:
-    """VALUES table of the directed AFT triangle table: (tri_id,
-    x1,y1,x2,y2,x3,y3 source vertices, ca..cf affine coefficients) with
-    exact float64 literals — the oracle's copy of aft_gktm.h/aft_tmgk.h."""
-    from ..aft import AFT_GK_TM, AFT_TM_GK
-    t = AFT_GK_TM if direction == "gk_tm" else AFT_TM_GK
-    rows = []
-    for i in range(len(t.coef)):
-        s = t.tri_src[i]
-        c = t.coef[i]
-        vals = ", ".join([f(s[0, 0]), f(s[0, 1]), f(s[1, 0]), f(s[1, 1]),
-                          f(s[2, 0]), f(s[2, 1])]
-                         + [f(v) for v in c])
-        rows.append(f"({i}, {vals})")
-    return ("(SELECT * FROM (VALUES " + ", ".join(rows) +
-            ") AS t(tri_id, x1, y1, x2, y2, x3, y3, ca, cb, cc, cd, ce, cf))")
+    """Directed AFT triangle table: (tri_id, x1,y1,x2,y2,x3,y3 source
+    vertices, ca..cf affine coefficients) — the oracle's analogue of
+    aft_gktm.h / aft_tmgk.h, now fully GENERATED in SQL: the regular
+    2·21·21 triangulation comes from ``generate_series`` and the
+    coefficients from the same closed-form Cramer solve as
+    ``aft._affine_from_pairs`` (identical expression order → identical
+    float64 bits)."""
+    from ..aft import _GRID_N
+    n, nq = _GRID_N, _GRID_N - 1
+    verts = _aft_grid_verts_sql()
+    # quad (qi, qj) + parity → the three vertex ids, table order:
+    # lower (p00,p10,p11) even, upper (p00,p11,p01) odd
+    tri_idx = f"""
+(SELECT tid AS tri_id,
+        (qi * {n} + qj) AS va,
+        (case when tid % 2 = 0 then (qi + 1) * {n} + qj
+              else (qi + 1) * {n} + qj + 1 end) AS vb,
+        (case when tid % 2 = 0 then (qi + 1) * {n} + qj + 1
+              else qi * {n} + qj + 1 end) AS vc
+ FROM (SELECT t.t AS tid,
+              cast(floor(t.t / {2 * nq}.0e0) as bigint) AS qi,
+              cast(floor(t.t / 2.0e0) as bigint) % {nq} AS qj
+       FROM generate_series(0, {2 * nq * nq - 1}) AS t(t)) q_q)
+"""
+    if direction == "gk_tm":
+        pick = ("a.sx AS x1, a.sy AS y1, b.sx AS x2, b.sy AS y2, "
+                "c.sx AS x3, c.sy AS y3, a.dx AS u1, a.dy AS v1, "
+                "b.dx AS u2, b.dy AS v2, c.dx AS u3, c.dy AS v3")
+    else:  # tm_gk: AftTable(dst, src, tris) — directions swapped
+        pick = ("a.dx AS x1, a.dy AS y1, b.dx AS x2, b.dy AS y2, "
+                "c.dx AS x3, c.dy AS y3, a.sx AS u1, a.sy AS v1, "
+                "b.sx AS u2, b.sy AS v2, c.sx AS u3, c.sy AS v3")
+    # subquery-local CTE so the (literal-bearing) vertex table appears
+    # ONCE, not 3× for the triple self-join
+    tri_v = f"""
+(WITH __aft_verts AS (SELECT * FROM {verts} q_v)
+ SELECT tr.tri_id AS tri_id, {pick}
+ FROM {tri_idx} tr
+ JOIN __aft_verts a ON a.vid = tr.va
+ JOIN __aft_verts b ON b.vid = tr.vb
+ JOIN __aft_verts c ON c.vid = tr.vc)
+"""
+    # Cramer, expression-for-expression as aft._affine_from_pairs
+    return f"""
+(SELECT tri_id, x1, y1, x2, y2, x3, y3,
+        ca, cb, u1 - ca * x1 - cb * y1 AS cc,
+        cd, ce, v1 - cd * x1 - ce * y1 AS cf
+ FROM (
+   SELECT tri_id, x1, y1, x2, y2, x3, y3, u1, v1,
+          ((u2 - u1) * (y3 - y1) - (u3 - u1) * (y2 - y1)) / det AS ca,
+          ((x2 - x1) * (u3 - u1) - (x3 - x1) * (u2 - u1)) / det AS cb,
+          ((v2 - v1) * (y3 - y1) - (v3 - v1) * (y2 - y1)) / det AS cd,
+          ((x2 - x1) * (v3 - v1) - (x3 - x1) * (v2 - v1)) / det AS ce
+   FROM (SELECT *, (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1) AS det
+         FROM {tri_v} q_tv) q_det) q_coef)
+"""
 
 
 def aft_scan_locate_sql(src: str, keep: str, direction: str = "gk_tm") -> str:

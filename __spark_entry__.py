@@ -1129,10 +1129,21 @@ _WINDOW_PRIORITY = [
 # (every r01/r02-era entry displaced from the 50-slot window during r3
 # has TWO driver-green rows, r01 + r02, and remains covered by
 # tools/local_verify.py + pytest)
+#
+# r5 (VERDICT r4 Next #1b/#4): the window KEEPS the r4 set — the 49
+# entries burned by the oracle-pool OOM cascade plus the two r4-new
+# rows — but _windowed now orders it cheapest-oracle-first (statement
+# bytes, the driver-deterministic proxy for parse+buffer cost), so a
+# pathological statement can only ever burn trailing slots, never the
+# whole window.  With the r5 oracle shrink (max statement 31 KB, was
+# 380 KB) this is belt-and-braces.
 
 
 def _windowed(q: dict) -> dict:
-    head = {k: q[k] for k in _WINDOW_PRIORITY if k in q}
+    sizes = {k: len(v) for k, v in oracle_sql().items()}
+    head_names = sorted((k for k in _WINDOW_PRIORITY if k in q),
+                        key=lambda k: (sizes.get(k, 1 << 30), k))
+    head = {k: q[k] for k in head_names}
     return head | {k: v for k, v in q.items() if k not in head}
 
 

@@ -217,6 +217,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (pairs_df, cache_handles) per (applicationId, sf_dir) — see
 # _shared_pairs inside queries()
 _PAIRS_MEMO: dict = {}
+# _shared_simhash inside queries() (ADVICE r4: same leak class)
+_SIMHASH_MEMO: dict = {}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -692,8 +694,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_normalize_dedup"] = q_url_norm
     q["minhash_signatures"] = lambda s, d: td.minhash_signatures(_docs(s, d))
     q["simhash"] = lambda s, d: td.simhash(_docs(s, d))
-    q["simhash_near_dup_pairs"] = \
-        lambda s, d: td.simhash_near_dup_pairs(_docs(s, d))
+    def _shared_simhash(spark, sf_dir):
+        # same memo contract as _shared_pairs (ADVICE r4): one persisted
+        # banded frame per (app, sf_dir), evicted + unpersisted on key
+        # change, so sweep sessions hold at most one storage copy
+        key = (spark.sparkContext.applicationId, sf_dir)
+        hit = _SIMHASH_MEMO.get(key)
+        if hit is None:
+            for k in list(_SIMHASH_MEMO):
+                _, stale = _SIMHASH_MEMO.pop(k)
+                for c in stale:
+                    try:
+                        c.unpersist()
+                    except Exception:
+                        pass
+            cache: list = []
+            hit = (td.simhash_near_dup_pairs(_docs(spark, sf_dir),
+                                             cache=cache), cache)
+            _SIMHASH_MEMO[key] = hit
+        return hit[0]
+
+    q["simhash_near_dup_pairs"] = _shared_simhash
     q["ngram_jaccard_pairs"] = lambda s, d: td.ngram_jaccard_pairs(_docs(s, d))
     q["text_stats"] = lambda s, d: td.text_stats(_docs(s, d))
     q["lang_id"] = lambda s, d: td.lang_id(_docs(s, d))

@@ -125,6 +125,15 @@ def checkpointed_write(df: DataFrame, out_dir: str, key: str,
         # recompute every bucket.  Deterministic upstream + dynamic
         # partition overwrite make the full re-commit idempotent, so
         # "re-do" is always safe where "skip" would be a silent gap.
+        #
+        # LOCAL-FS ASSUMPTION (ADVICE r4): os.path.isdir/os.rename see
+        # nothing for hdfs:// or s3a:// manifest paths, so off local
+        # disk the quarantine silently no-ops and recovery degrades to
+        # the (safe) full recompute without the forensic copy.  On a
+        # cluster, swap in the Hadoop FileSystem API via the JVM
+        # gateway (spark._jvm.org.apache.hadoop.fs.FileSystem) — not
+        # done here because this sandbox exercises only file:// paths
+        # and the py4j call is untestable without one.
         if os.path.isdir(mpath):
             os.rename(mpath, mpath + f".corrupt.{int(time.time())}")
         done = set()

@@ -176,6 +176,14 @@ def knn_join(points: DataFrame, spark: SparkSession, key: str,
         # points take the broadcast (exact) candidate set instead —
         # correct for any input, and a no-op for in-bbox corpora
         # (r4 review finding).
+        #
+        # NULL fi/la: kNN of an unknown coordinate is undefined — such
+        # rows are EXCLUDED from the output of every method (the
+        # kernel/broadcast paths drop them through NULL dist2 ordering
+        # semantics only incidentally, so the contract is made explicit
+        # here; ADVICE r4).
+        points = points.filter(F.col(fi_col).isNotNull()
+                               & F.col(la_col).isNotNull())
         in_bbox = (F.col(fi_col).between(BBOX_FI_MIN, BBOX_FI_MAX)
                    & F.col(la_col).between(BBOX_LA_MIN, BBOX_LA_MAX))
         pts = (points.filter(in_bbox)
@@ -184,8 +192,17 @@ def knn_join(points: DataFrame, spark: SparkSession, key: str,
         cand_in = (pts.join(F.broadcast(rings), "cell")
                    .join(F.broadcast(st), "station_id")
                    .drop("cell"))
-        cand_out = points.filter(~in_bbox).join(F.broadcast(st))
-        cand = cand_in.unionByName(cand_out)
+        # Gate the cartesian fallback on an out-of-bbox existence probe:
+        # unconditioned, every cellring plan carried a
+        # BroadcastNestedLoopJoin branch even for all-in-bbox data
+        # (ADVICE r4 — would trip the repo's own no-BNLJ plan audit).
+        # limit(1).count() short-circuits the scan: the pushed-down
+        # bbox filter + LocalLimit stop at the first qualifying row.
+        if points.filter(~in_bbox).limit(1).count():
+            cand = cand_in.unionByName(
+                points.filter(~in_bbox).join(F.broadcast(st)))
+        else:
+            cand = cand_in
     else:
         raise ValueError(method)
     w = Window.partitionBy(key).orderBy(

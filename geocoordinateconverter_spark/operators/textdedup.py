@@ -382,13 +382,15 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
          .withColumn("band_val", F.expr(
              f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {mask}")))
     wb = Window.partitionBy("band", "band_val")
-    # persisted because the self-join reads it twice (the fingerprint
-    # kernel + window bucket filter would otherwise run per side) —
-    # same caller-owned cache contract as minhash_pairs
     b = (b.withColumn("bsize", F.count("*").over(wb))
-         .filter(F.col("bsize") <= max_bucket).drop("bsize")
-         .persist())
+         .filter(F.col("bsize") <= max_bucket).drop("bsize"))
+    # persist ONLY under the caller-owned cache contract (the self-join
+    # reads the banded frame twice, so callers that can unpersist —
+    # e.g. the __spark_entry__ memo — should pass a cache list); an
+    # unconditional persist leaked one storage copy per call in
+    # long-lived sweep sessions (ADVICE r4)
     if cache is not None:
+        b = b.persist()
         cache.append(b)
     return (b.alias("a")
             .join(b.alias("b"),

@@ -78,10 +78,12 @@ def _rng(a: np.ndarray) -> tuple[float, float]:
 
 
 def _m_rng(vals: np.ndarray) -> tuple[float, float]:
-    """M range per spec: values < -1e38 are NODATA and are EXCLUDED
-    from Mmin/Mmax (a spec-conforming consumer would otherwise see a
-    corrupt measure range)."""
-    valid = vals[vals > -1e38]
+    """M range per spec: values STRICTLY less than -1e38 are NODATA and
+    are EXCLUDED from Mmin/Mmax (a spec-conforming consumer would
+    otherwise see a corrupt measure range).  ``>=`` keeps a legal
+    measure of exactly -1e38 in the header (ADVICE r4: ``>`` was off by
+    one ulp class)."""
+    valid = vals[vals >= -1e38]
     return _rng(valid)
 
 

@@ -1,0 +1,100 @@
+"""Round-5 fix regression tests (ADVICE r4 + VERDICT r4 items)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocoordinateconverter_spark.operators import knn as knn_op
+from geocoordinateconverter_spark.operators import multimodal as mm
+from geocoordinateconverter_spark.operators import textdedup as td
+from geocoordinateconverter_spark.sources import shapefile as shp
+
+
+# ---- knn cellring: gated cartesian fallback + explicit NULL rule ---------
+
+def _mk_pts(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, fi double, la double")
+
+
+def test_cellring_all_in_bbox_plan_has_no_bnlj(spark):
+    """ADVICE r4: with every point in the working bbox the cartesian
+    fallback must be gated OUT — no BroadcastNestedLoopJoin branch."""
+    rows = [(i, 45.6 + 0.001 * i, 14.2 + 0.001 * i) for i in range(50)]
+    out = knn_op.knn_join(_mk_pts(spark, rows), spark, key="k", k=3,
+                          method="cellring")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 50 * 3
+
+
+def test_cellring_out_of_bbox_rows_still_exact(spark):
+    rows = [(1, 45.6, 14.2), (2, 10.0, 100.0)]  # one far outside
+    out = (knn_op.knn_join(_mk_pts(spark, rows), spark, key="k", k=3,
+                           method="cellring")
+           .select("k", "station_id", "rk").toPandas()
+           .sort_values(["k", "rk"]))
+    ref = (knn_op.knn_join(_mk_pts(spark, rows), spark, key="k", k=3,
+                           method="broadcast")
+           .select("k", "station_id", "rk").toPandas()
+           .sort_values(["k", "rk"]))
+    np.testing.assert_array_equal(out.to_numpy(), ref.to_numpy())
+
+
+def test_cellring_null_coords_excluded(spark):
+    rows = [(1, 45.6, 14.2), (2, None, 14.2), (3, 45.6, None)]
+    out = knn_op.knn_join(_mk_pts(spark, rows), spark, key="k", k=3,
+                          method="cellring")
+    assert sorted(set(r.k for r in out.collect())) == [1]
+
+
+# ---- simhash banded-frame persist contract -------------------------------
+
+def test_simhash_pairs_no_persist_without_cache(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [(i, f"some body of text number {i % 3} repeated here")
+         for i in range(20)], "doc_id bigint, text string")
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    td.simhash_near_dup_pairs(docs).collect()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after <= before, "cache-less call must not leave persisted RDDs"
+    cache: list = []
+    td.simhash_near_dup_pairs(docs, cache=cache).collect()
+    assert len(cache) == 1
+    for c in cache:
+        c.unpersist()
+
+
+# ---- shapefile M-NODATA boundary -----------------------------------------
+
+def test_m_range_includes_exact_nodata_boundary():
+    """ESRI spec: values LESS THAN -1e38 are nodata; exactly -1e38 is a
+    legal measure and must enter Mmin/Mmax (ADVICE r4)."""
+    vals = np.array([-1e38, 5.0, -1.1e38])  # last one is true nodata
+    lo, hi = shp._m_rng(vals)
+    assert lo == -1e38 and hi == 5.0
+
+
+# ---- decode_media optional-codec self-upgrade ----------------------------
+
+def test_decode_media_raw_and_stub_paths():
+    assert (mm.decode_media(b"\x01\x02", "raw") ==
+            np.array([1, 2], np.uint8)).all()
+    if not mm._pil_available():
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_media(b"xx", "png")
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"xx", "mp4")
+
+
+@pytest.mark.skipif(not mm._pil_available(), reason="Pillow not installed")
+def test_decode_media_png_roundtrip_with_pil():
+    import io
+
+    from PIL import Image
+    img = Image.new("L", (2, 2))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    arr = mm.decode_media(buf.getvalue(), "png")
+    assert arr.shape == (2, 2)

@@ -146,6 +146,33 @@ def _shp_zm_src() -> str:
 
 
 SHP_ZM_SRC = _shp_zm_src()
+
+
+# MultiPatch fixture (r5 — completes the ESRI type matrix): per
+# supplier, part 0 = 4-vertex triangle strip, part 1 = 4-vertex outer
+# ring, part 2 = 3-vertex inner ring; z from the tm height field, m
+# deterministic with one NULL per geometry (vid 5) for the NODATA
+# sentinel roundtrip.
+def _shp_mp_src() -> str:
+    from geocoordinateconverter_spark.sources import shapefile as _shp
+    sels = []
+    for part, ptype, vids in ((0, _shp.MP_TRIANGLE_STRIP, (0, 1, 2, 3)),
+                              (1, _shp.MP_OUTER_RING, (4, 5, 6, 7)),
+                              (2, _shp.MP_INNER_RING, (8, 9, 10))):
+        for j in vids:
+            p = sg.tm_points_sql(f"(geom_id * 32 + {j})")
+            m = ("cast(NULL as double)" if j == 5 else
+                 f"((((geom_id * 29 + {j}) * 2654435761) % 1000000) "
+                 f"/ 1000000.0e0 * 100.0e0)")
+            sels.append(
+                f"SELECT geom_id, {part} AS part, {ptype} AS part_type, "
+                f"{j} AS vid, {p['x']} AS x, {p['y']} AS y, "
+                f"{p['h']} AS h, {m} AS mz "
+                f"FROM (SELECT s_suppkey AS geom_id FROM supplier) q_g")
+    return "(" + " UNION ALL ".join(sels) + ") q_v"
+
+
+SHP_MP_SRC = _shp_mp_src()
 SHP_ATTR_SRC = ("(SELECT s_suppkey AS geom_id, "
                 "concat('sup_', cast(s_suppkey as string)) AS name, "
                 "cast(s_suppkey * 37 % 100000 as bigint) AS pop "
@@ -638,6 +665,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    F.lit(None).cast("double"))
              .otherwise(F.col("m")).alias("m_out"))
     q["shapefile_zm_multipart_roundtrip"] = q_shp_zm
+
+    def q_shp_multipatch(spark, sf_dir):
+        import tempfile
+
+        from geocoordinateconverter_spark.sources import shapefile as shp
+        _register(spark, sf_dir)
+        verts = (spark.sql(f"SELECT * FROM {SHP_MP_SRC}")
+                 .select("geom_id", "part", "vid", "x", "y",
+                         F.col("h").alias("z"), F.col("mz").alias("m"),
+                         "part_type"))
+        base = tempfile.mkdtemp(prefix="shp_mp_") + "/patch"
+        shp.df_to_multipatch(verts, base)
+        back = shp.multipatch_to_df(spark, base)  # bit-exact x/y/z/m+types
+        udf = kernels.transform_udf(5)
+        conv = back.withColumn("o", udf(F.col("x"), F.col("y"),
+                                        F.col("z")))
+        return conv.select(
+            "geom_id", "part", "part_type", "vid",
+            F.round("o.x", 2).alias("x_out"),
+            F.round("o.y", 2).alias("y_out"),
+            F.round("o.h", 2).alias("z_out"),
+            F.when(F.col("m") < -1e38,
+                   F.lit(None).cast("double"))
+             .otherwise(F.col("m")).alias("m_out"))
+    q["shapefile_multipatch_roundtrip"] = q_shp_multipatch
 
     # ================= training-data pipeline operators ===================
     def _docs(spark, sf_dir):
@@ -1611,6 +1663,11 @@ FROM ({sim.over_clustered_sql(_recall_arms)}) q CROSS JOIN nq
         f"SELECT geom_id, part, vid, round(x, 2) AS x_out, "
         f"round(y, 2) AS y_out, round(h, 2) AS z_out, mz AS m_out "
         f"FROM ({sg.t5_sql(SHP_ZM_SRC, 'geom_id, part, vid, mz')}) q")
+
+    o["shapefile_multipatch_roundtrip"] = (
+        f"SELECT geom_id, part, part_type, vid, round(x, 2) AS x_out, "
+        f"round(y, 2) AS y_out, round(h, 2) AS z_out, mz AS m_out "
+        f"FROM ({sg.t5_sql(SHP_MP_SRC, 'geom_id, part, part_type, vid, mz')}) q")
 
     o["shapefile_attrs_passthrough"] = (
         f"SELECT q_v.geom_id AS geom_id, q_v.vid AS vid, q_v.x AS x, "

@@ -93,3 +93,38 @@ def test_spark_bridge_roundtrip(spark, tmp_path):
     shp.df_to_shapefile(conv, base2, shp.SHP_POLYGON)
     back2 = shp.shapefile_to_df(spark, base2)
     assert back2.count() == 9
+
+
+def test_multipatch_roundtrip_with_part_types(tmp_path):
+    """MultiPatch (type 31) record layout: parts starts, then the
+    partTypes int array, then XY + Z block + M block.  Part types and
+    all four vertex components must roundtrip bit-exactly."""
+    import numpy as np
+    shapes = [
+        [np.array([[1.0, 2.0, 10.0, 0.5], [3.0, 4.0, 11.0, 1.5],
+                   [5.0, 6.0, 12.0, 2.5], [7.0, 8.0, 13.0, 3.5]]),
+         np.array([[0.0, 0.0, 1.0, shp.M_NODATA], [1.0, 0.0, 1.0, 7.0],
+                   [0.5, 1.0, 1.0, 8.0]])],
+        [np.array([[9.0, 9.0, 2.0, -1e38]])],  # legal boundary measure
+    ]
+    ptypes = [[shp.MP_TRIANGLE_STRIP, shp.MP_INNER_RING], [shp.MP_RING]]
+    base = str(tmp_path / "patch")
+    shp.write_shp(base, shapes, shp.SHP_MULTIPATCH, part_types=ptypes)
+    stype, back, bp = shp.read_shp_ex(base)
+    assert stype == shp.SHP_MULTIPATCH
+    assert bp == ptypes
+    for a, b in zip(shapes, back):
+        assert len(a) == len(b)
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)
+    # header M range must include the exact -1e38 boundary measure but
+    # exclude the M_NODATA sentinel
+    import struct as _st
+    raw = open(base + ".shp", "rb").read()
+    mmin, mmax = _st.unpack("<2d", raw[84:100])
+    assert mmin == -1e38 and mmax == 8.0
+    # part-type count mismatch must be rejected
+    import pytest as _pt
+    with _pt.raises(ValueError, match="part types"):
+        shp.write_shp(base, shapes, shp.SHP_MULTIPATCH,
+                      part_types=[[5], [5]])

@@ -125,8 +125,22 @@ def q_ann_ivf_nprobe(spark, sf_dir):
     return sim.ivf_nprobe_topk(spark.table("embeddings"), k=5, nprobe=3)
 
 
+# bench owns the simhash band-table cache: simhash_near_dup_pairs only
+# persists under the caller-owned contract (r5), and the measurement
+# must keep r4's semantics (banded frame computed once per action, not
+# twice through the self-join)
+_SIMHASH_BENCH_CACHE: list = []
+
+
 def q_simhash_pairs(spark, sf_dir):
-    return td.simhash_near_dup_pairs(spark.table("documents"))
+    for c in _SIMHASH_BENCH_CACHE:
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    _SIMHASH_BENCH_CACHE.clear()
+    return td.simhash_near_dup_pairs(spark.table("documents"),
+                                     cache=_SIMHASH_BENCH_CACHE)
 
 
 def q_dedup(spark, sf_dir):

@@ -88,7 +88,7 @@ def _affine_from_pairs(s: np.ndarray, d: np.ndarray) -> np.ndarray:
 
     Closed-form Cramer solve (r5, replacing ``np.linalg.solve``): the
     elementwise expression sequence below is replicated verbatim by
-    ``sqlgen.aft_table_sql`` so the DuckDB oracle derives the SAME
+    ``sqlgen.aft_values_sql`` so the DuckDB oracle derives the SAME
     float64 coefficients arithmetically instead of embedding 882 rows
     of literals (the 230 KB statements that pinned the driver's shared
     connection pool in r4).  LU (LAPACK) and Cramer differ by ulps;
@@ -194,6 +194,17 @@ def _build():
 
 
 AFT_GK_TM, AFT_TM_GK = _build()
+
+# TRUE while the tables above are the synthetic regular-grid stand-ins.
+# sqlgen.aft_values_sql keys on this: synthetic tables are derived
+# arithmetically in SQL (generate_series + Cramer — tiny statements),
+# but the real aft_gktm.h/aft_tmgk.h tables are an IRREGULAR Delaunay
+# mesh no generate_series can reproduce, so the oracle must fall back
+# to literal serialization of whatever AFT_GK_TM/AFT_TM_GK hold.
+# tools/reanchor.py MUST flip this to False when swapping in the real
+# tables (r5 review: without the flag, a real-table swap would leave
+# the oracle silently regenerating the synthetic grid).
+TABLES_SYNTHETIC = True
 
 
 # --- composite chains t7–t10 (geo.c dispatch — SURVEY.md §3.3) -------------

@@ -416,15 +416,39 @@ def _aft_grid_verts_sql() -> str:
             f"FROM {grid} g JOIN {dst_tbl} d ON d.vid = g.vid)")
 
 
+def _aft_values_literal_sql(direction: str) -> str:
+    """Literal VALUES serialization of the in-memory directed AFT
+    table — the fallback for REAL (irregular-mesh) tables, which the
+    generate_series derivation below cannot express.  ~230 KB per
+    statement; only reachable once ``aft.TABLES_SYNTHETIC`` is False
+    (tools/reanchor.py flips it when swapping in aft_gktm.h/aft_tmgk.h)."""
+    from ..aft import AFT_GK_TM, AFT_TM_GK
+    t = AFT_GK_TM if direction == "gk_tm" else AFT_TM_GK
+    rows = []
+    for i in range(len(t.coef)):
+        s = t.tri_src[i]
+        c = t.coef[i]
+        vals = ", ".join([f(s[0, 0]), f(s[0, 1]), f(s[1, 0]), f(s[1, 1]),
+                          f(s[2, 0]), f(s[2, 1])]
+                         + [f(v) for v in c])
+        rows.append(f"({i}, {vals})")
+    return ("(SELECT * FROM (VALUES " + ", ".join(rows) +
+            ") AS t(tri_id, x1, y1, x2, y2, x3, y3, ca, cb, cc, cd, ce, cf))")
+
+
 def aft_values_sql(direction: str = "gk_tm") -> str:
     """Directed AFT triangle table: (tri_id, x1,y1,x2,y2,x3,y3 source
     vertices, ca..cf affine coefficients) — the oracle's analogue of
-    aft_gktm.h / aft_tmgk.h, now fully GENERATED in SQL: the regular
-    2·21·21 triangulation comes from ``generate_series`` and the
-    coefficients from the same closed-form Cramer solve as
+    aft_gktm.h / aft_tmgk.h.  While the tables are the synthetic
+    regular grid (``aft.TABLES_SYNTHETIC``), it is GENERATED in SQL:
+    the regular 2·21·21 triangulation comes from ``generate_series``
+    and the coefficients from the same closed-form Cramer solve as
     ``aft._affine_from_pairs`` (identical expression order → identical
-    float64 bits)."""
-    from ..aft import _GRID_N
+    float64 bits).  Real irregular tables fall back to literal
+    serialization."""
+    from ..aft import _GRID_N, TABLES_SYNTHETIC
+    if not TABLES_SYNTHETIC:
+        return _aft_values_literal_sql(direction)
     n, nq = _GRID_N, _GRID_N - 1
     verts = _aft_grid_verts_sql()
     # quad (qi, qj) + parity → the three vertex ids, table order:

@@ -126,6 +126,12 @@ def knn_join(points: DataFrame, spark: SparkSession, key: str,
     # three strategies behave identically for k > n_st (the cellring
     # bound would otherwise index past the station matrix; r4 review)
     k = min(k, n_st)
+    # NULL fi/la: kNN of an unknown coordinate is undefined — such rows
+    # are EXCLUDED from the output of EVERY method.  Filtered here, once,
+    # so the three strategies agree (r5 review: a cellring-only filter
+    # left kernel/broadcast emitting NaN/NULL-dist2 rows instead).
+    points = points.filter(F.col(fi_col).isNotNull()
+                           & F.col(la_col).isNotNull())
     if method == "kernel":
         udf = knn_kernel_udf(n_st, k)
         nn = points.withColumn("_nn", udf(F.col(fi_col), F.col(la_col)))
@@ -176,14 +182,6 @@ def knn_join(points: DataFrame, spark: SparkSession, key: str,
         # points take the broadcast (exact) candidate set instead —
         # correct for any input, and a no-op for in-bbox corpora
         # (r4 review finding).
-        #
-        # NULL fi/la: kNN of an unknown coordinate is undefined — such
-        # rows are EXCLUDED from the output of every method (the
-        # kernel/broadcast paths drop them through NULL dist2 ordering
-        # semantics only incidentally, so the contract is made explicit
-        # here; ADVICE r4).
-        points = points.filter(F.col(fi_col).isNotNull()
-                               & F.col(la_col).isNotNull())
         in_bbox = (F.col(fi_col).between(BBOX_FI_MIN, BBOX_FI_MAX)
                    & F.col(la_col).between(BBOX_LA_MIN, BBOX_LA_MAX))
         pts = (points.filter(in_bbox)
@@ -198,6 +196,11 @@ def knn_join(points: DataFrame, spark: SparkSession, key: str,
         # (ADVICE r4 — would trip the repo's own no-BNLJ plan audit).
         # limit(1).count() short-circuits the scan: the pushed-down
         # bbox filter + LocalLimit stop at the first qualifying row.
+        # NOTE: this makes cellring composition EAGER (one small Spark
+        # job at call time) and re-evaluates the upstream lineage for
+        # the probe — deliberate: cellring is the batch-scale path over
+        # materialized sources, and the probe is O(first match); don't
+        # compose it over streaming DataFrames (count() would throw).
         if points.filter(~in_bbox).limit(1).count():
             cand = cand_in.unionByName(
                 points.filter(~in_bbox).join(F.broadcast(st)))

@@ -42,11 +42,14 @@ def test_cellring_out_of_bbox_rows_still_exact(spark):
     np.testing.assert_array_equal(out.to_numpy(), ref.to_numpy())
 
 
-def test_cellring_null_coords_excluded(spark):
+def test_null_coords_excluded_by_every_method(spark):
+    """r5 review: the NULL rule must hold for ALL three strategies
+    (kernel/broadcast previously emitted NaN/NULL-dist2 rows)."""
     rows = [(1, 45.6, 14.2), (2, None, 14.2), (3, 45.6, None)]
-    out = knn_op.knn_join(_mk_pts(spark, rows), spark, key="k", k=3,
-                          method="cellring")
-    assert sorted(set(r.k for r in out.collect())) == [1]
+    for method in ("kernel", "broadcast", "cellring"):
+        out = knn_op.knn_join(_mk_pts(spark, rows), spark, key="k", k=3,
+                              method=method)
+        assert sorted(set(r.k for r in out.collect())) == [1], method
 
 
 # ---- simhash banded-frame persist contract -------------------------------

@@ -43,7 +43,10 @@ PATTERNS: list[tuple[str, str, str]] = [
      "convergence/boundary epsilons",
      "geodesy.py + aft.py locate()"),
     (r"(triangle|trikot)",
-     "AFT triangle handling",
+     "AFT triangle handling — swapping in real aft_gktm.h/aft_tmgk.h "
+     "tables REQUIRES setting aft.TABLES_SYNTHETIC = False so the "
+     "DuckDB oracle serializes the real (irregular) mesh instead of "
+     "regenerating the synthetic grid",
      "geocoordinateconverter_spark/aft.py"),
     (r"(geoid|absg|Slo99|AMG|VRP2016)",
      "geoid grid references",

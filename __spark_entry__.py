@@ -29,6 +29,7 @@ from geocoordinateconverter_spark.operators import knn as knn_op
 from geocoordinateconverter_spark.operators import multimodal as mm
 from geocoordinateconverter_spark.operators import pip as pip_op
 from geocoordinateconverter_spark.operators import similarity as sim
+from geocoordinateconverter_spark.operators import curation as cu
 from geocoordinateconverter_spark.operators import textdedup as td
 from geocoordinateconverter_spark.sources import webpages as wp
 from geocoordinateconverter_spark.streaming import windows as sw
@@ -786,6 +787,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rolling_fingerprint"] = lambda s, d: td.rolling_fingerprint(_docs(s, d))
     q["minhash_rerank_exact"] = lambda s, d: td.minhash_rerank_exact(_docs(s, d))
 
+    # --- corpus curation (r5 additions: operators/curation.py) -------
+    q["stratified_sample"] = lambda s, d: cu.stratified_sample(_docs(s, d))
+    q["pack_sequences"] = lambda s, d: cu.pack_sequences(_docs(s, d))
+    q["pii_redact"] = lambda s, d: cu.pii_redact(_docs(s, d))
+    q["dup_ngram_spans"] = lambda s, d: cu.dup_ngram_spans(_docs(s, d))
+
     def q_ann(spark, sf_dir):
         _register(spark, sf_dir)
         return sim.brute_force_topk(spark.table("embeddings"), k=5)
@@ -1486,6 +1493,11 @@ GROUP BY lang
     o["lang_id"] = td.lang_id_sql()
     o["bpe_token_stats"] = td.BPE_TOKEN_STATS_SQL
     o["rolling_fingerprint"] = td.rolling_fingerprint_sql()
+    # corpus curation (r5 additions)
+    o["stratified_sample"] = cu.stratified_sample_sql()
+    o["pack_sequences"] = cu.pack_sequences_sql()
+    o["pii_redact"] = cu.pii_redact_sql()
+    o["dup_ngram_spans"] = cu.dup_ngram_spans_sql()
     o["minhash_rerank_exact"] = td.minhash_rerank_exact_sql()
     o["ann_cosine_topk"] = sim.brute_force_topk_sql(k=5)
     o["ann_lsh_buckets"] = sim.lsh_buckets_sql()

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from geocoordinateconverter_spark import kernels  # noqa: E402
+from geocoordinateconverter_spark.operators import curation as cu  # noqa: E402
 from geocoordinateconverter_spark.operators import pip as pip_op  # noqa: E402
 from geocoordinateconverter_spark.operators import similarity as sim  # noqa: E402
 from geocoordinateconverter_spark.operators import textdedup as td  # noqa: E402
@@ -151,6 +152,14 @@ def q_tpch1(spark, sf_dir):
     return entrymod.queries()["tpch_q1_pricing"](spark, sf_dir)
 
 
+def q_pack(spark, sf_dir):
+    return cu.pack_sequences(spark.table("documents"))
+
+
+def q_dup_spans(spark, sf_dir):
+    return cu.dup_ngram_spans(spark.table("documents"))
+
+
 BENCH_QUERIES = {
     "tile_t3_cells": q_tile,
     "geoparse_gk": q_geoparse,
@@ -162,6 +171,10 @@ BENCH_QUERIES = {
     "simhash_near_dup_pairs": q_simhash_pairs,
     "dedup_exact": q_dedup,
     "tpch_q1": q_tpch1,
+    # r5 curation additions (the two with nontrivial plans; sampling
+    # and pii_redact are zero-shuffle codegen filters, not worth slots)
+    "pack_sequences": q_pack,
+    "dup_ngram_spans": q_dup_spans,
 }
 
 

@@ -1,0 +1,199 @@
+"""Tests for operators/curation.py (r5): stratified sampling, sequence
+packing, PII redaction, duplicate n-gram spans.
+
+The driver fixtures contain no multi-space texts, no empty docs, and no
+adversarial PII strings (see the r4 multispace post-mortem: divergence
+classes the fixtures can't express are only caught here), so every
+operator is exercised on crafted corpora against an independent Python
+reference AND, for the regex/window semantics, against DuckDB on the
+same crafted rows.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from geocoordinateconverter_spark.operators import curation as cu
+
+ADVERSARIAL_TEXTS = [
+    (0, "a b c d e f g h"),
+    (1, "  a  b c d e f g h  "),          # multi-space + edge spaces
+    (2, ""),                               # empty
+    (3, "   "),                            # spaces only → zero tokens
+    (4, "x " * 600),                       # longer than PACK_BUDGET
+    (5, "a b c d e f g h q r s t u v w z"),
+]
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "srcT", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+# ---- stratified sampling --------------------------------------------------
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = _docs_df(spark, rows)
+    a = cu.stratified_sample(df).toPandas().sort_values("doc_id")
+    b = cu.stratified_sample(df).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # every kept bucket is under the stratum rate
+    assert (a["smp_bucket"] < cu.SAMPLE_RATES["en"]).all()
+    # unlisted strata keep everything
+    df_zh = _docs_df(spark, rows).replace("en", "zh", subset=["lang"])
+    assert cu.stratified_sample(df_zh).count() == 200
+
+
+def test_stratified_sample_rate_accuracy(spark):
+    # hash-uniformity: achieved rate within 5 points of target on 2000
+    rows = [(i, "t") for i in range(2000)]
+    kept = cu.stratified_sample(_docs_df(spark, rows)).count()
+    assert abs(kept / 2000 - cu.SAMPLE_RATES["en"] / cu.SAMPLE_MOD) < 0.05
+
+
+# ---- sequence packing -----------------------------------------------------
+
+def _pack_reference(rows, budget, n_shards):
+    """Independent concat-and-chunk reference."""
+    out = []
+    for shard in range(n_shards):
+        offset = 0
+        for doc_id, text in sorted(rows):
+            if doc_id % n_shards != shard:
+                continue
+            n_tok = len([t for t in text.split(" ") if t])
+            if n_tok == 0:
+                continue
+            pos = 0
+            while pos < n_tok:
+                seq = (offset + pos) // budget
+                take = min(n_tok - pos, (seq + 1) * budget - (offset + pos))
+                out.append((shard, seq, doc_id, pos, take))
+                pos += take
+            offset += n_tok
+    return sorted(out)
+
+
+def test_pack_sequences_matches_reference(spark):
+    got = (cu.pack_sequences(_docs_df(spark, ADVERSARIAL_TEXTS),
+                             budget=7, n_shards=2)
+           .toPandas())
+    got_t = sorted(map(tuple, got.to_numpy().tolist()))
+    assert got_t == _pack_reference(ADVERSARIAL_TEXTS, 7, 2)
+
+
+def test_pack_sequences_conservation(spark):
+    """Every token lands in exactly one piece; pieces tile each
+    sequence with no overlap and no hole except the final tail."""
+    budget, shards = 16, 2
+    df = cu.pack_sequences(_docs_df(spark, ADVERSARIAL_TEXTS),
+                           budget=budget, n_shards=shards).toPandas()
+    n_tok = {i: len([t for t in txt.split(" ") if t])
+             for i, txt in ADVERSARIAL_TEXTS}
+    # conservation per doc
+    per_doc = df.groupby("doc_id")["piece_len"].sum().to_dict()
+    assert per_doc == {i: n for i, n in n_tok.items() if n > 0}
+    # each (shard, seq) holds exactly budget tokens except the last
+    # seq of each shard
+    fill = df.groupby(["shard", "seq_id"])["piece_len"].sum()
+    for shard in fill.index.get_level_values(0).unique():
+        f = fill.loc[shard]
+        assert (f.iloc[:-1] == budget).all()
+        assert f.iloc[-1] <= budget
+
+
+# ---- PII redaction --------------------------------------------------------
+
+PII_TEXTS = [
+    (0, "mail a.b-c_d%e+f@sub.domain.example.org twice x@y.zz ok"),
+    (1, "ips 1.2.3.4 and 10.20.30.40.50 overlong run"),
+    (2, "no pii here at all"),
+    (3, "trailing dot a@b.com. and adjacent x@y.de,z@w.fr pair"),
+    (4, "version 1.2.3 is not an ip; 999.999.999.999 matches the "
+        "syntactic pattern by design"),
+]
+
+
+def test_pii_redact_spark_matches_duckdb(spark):
+    sdf = (cu.pii_redact(_docs_df(spark, PII_TEXTS))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        [(i, t) for i, t in PII_TEXTS], columns=["doc_id", "text"]))
+    odf = (con.execute(cu.pii_redact_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(sdf, odf[sdf.columns], check_dtype=False)
+
+
+def test_pii_redact_counts(spark):
+    out = (cu.pii_redact(_docs_df(spark, PII_TEXTS))
+           .toPandas().set_index("doc_id"))
+    assert out.loc[0, "n_emails"] == 2 + 1     # two in text + synthesized
+    assert out.loc[3, "n_emails"] == 3 + 1
+    assert out.loc[2, "n_emails"] == 1         # synthesized only
+    # doc 1: "10.20.30.40.50" — the regex takes the leftmost 4 groups
+    assert out.loc[1, "n_ips"] == 2 + 1
+    assert out.loc[4, "n_ips"] == 1 + 1        # 999... plus synthesized
+
+
+# ---- duplicate n-gram spans ----------------------------------------------
+
+def _spans_reference(rows, n, min_docs):
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in rows}
+    from collections import Counter
+    owners: dict[str, set] = {}
+    starts: dict[int, list] = {i: [] for i in toks}
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            g = " ".join(tk[p:p + n])
+            owners.setdefault(g, set()).add(i)
+            starts[i].append((p, g))
+    out = []
+    for i, lst in starts.items():
+        dup = sorted(p for p, g in lst if len(owners[g]) >= min_docs)
+        run: list = []
+        for p in dup:
+            if run and p <= run[-1] + n:
+                run.append(p)
+            else:
+                if run:
+                    out.append((i, run[0], run[-1] + n - 1, len(run)))
+                run = [p]
+        if run:
+            out.append((i, run[0], run[-1] + n - 1, len(run)))
+    return sorted(out)
+
+
+SPAN_TEXTS = [
+    (0, "p q r s t u v w x y z a b c d e"),
+    (1, "k p q r s t u m m m n o k k p q r s t u"),  # two dup islands
+    (2, "  p  q r s t u  handles multispace adjacency here too"),
+    (3, "nothing shared with anyone else at all in this one"),
+]
+
+
+def test_dup_ngram_spans_matches_reference(spark):
+    got = (cu.dup_ngram_spans(_docs_df(spark, SPAN_TEXTS), n=5, min_docs=2)
+           .toPandas())
+    got_t = sorted(map(tuple, got.to_numpy().tolist()))
+    ref = _spans_reference(SPAN_TEXTS, 5, 2)
+    assert got_t == ref
+    assert len(ref) >= 3  # the fixture genuinely exercises merging
+
+
+def test_dup_ngram_spans_merges_overlaps(spark):
+    # doc1 repeats doc0's 8-token prefix twice, separated by filler —
+    # expect TWO islands in doc1 covering [1,8]-ish and the tail
+    got = (cu.dup_ngram_spans(_docs_df(spark, SPAN_TEXTS), n=5, min_docs=2)
+           .toPandas())
+    d1 = got[got.doc_id == 1].sort_values("span_start")
+    assert len(d1) == 2
+    first, second = d1.iloc[0], d1.iloc[1]
+    # dup gram starts 1,2 merge into one island covering [1, 2+5-1]
+    assert first.span_start == 1 and first.span_end == 6
+    assert second.span_start > first.span_end

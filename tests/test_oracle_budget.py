@@ -11,7 +11,7 @@ tests make that failure class unshippable:
 * no statement may exceed 50 KB of SQL text (the r4 post-mortem
   threshold — parse-arena size tracked the statement size 1:1).
 
-Runs the full 92-oracle corpus at sf0.01 in ~10 s (measured r5).
+Runs the full 96-oracle corpus at sf0.01 in ~12 s (measured r5).
 """
 
 from __future__ import annotations

@@ -156,8 +156,21 @@ def q_pack(spark, sf_dir):
     return cu.pack_sequences(spark.table("documents"))
 
 
+# same caller-owned contract as the simhash cache above: the gram
+# table feeds both branches of the dup-gram self-reference, so the
+# measurement persists it once per action
+_DUP_SPANS_BENCH_CACHE: list = []
+
+
 def q_dup_spans(spark, sf_dir):
-    return cu.dup_ngram_spans(spark.table("documents"))
+    for c in _DUP_SPANS_BENCH_CACHE:
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    _DUP_SPANS_BENCH_CACHE.clear()
+    return cu.dup_ngram_spans(spark.table("documents"),
+                              cache=_DUP_SPANS_BENCH_CACHE)
 
 
 BENCH_QUERIES = {

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textdedup import hash60_col, hash60_sql
+from .textdedup import TOKS_EXPR, gram_window_expr, hash60_col, hash60_sql
 
 # ---------------------------------------------------------------------------
 # Deterministic stratified sampling (language rebalancing)
@@ -99,7 +99,7 @@ WHERE smp_bucket < rate
 PACK_BUDGET = 256   # tokens per packed sequence
 PACK_SHARDS = 8
 
-_N_TOK = "size(filter(split(text, ' '), t -> t <> ''))"
+_N_TOK = f"size({TOKS_EXPR})"
 
 
 def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
@@ -115,8 +115,10 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
     w = (Window.partitionBy("shard").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     d = d.withColumn("offset", F.sum("n_tok").over(w) - F.col("n_tok"))
-    first = F.floor(F.col("offset") / budget)
-    last = F.floor((F.col("offset") + F.col("n_tok") - 1) / budget)
+    # integer division (not floor of a double quotient): offsets are
+    # nonneg int64 and must stay exact past 2^53 tokens per shard
+    first = F.expr(f"offset DIV {budget}")
+    last = F.expr(f"(offset + n_tok - 1) DIV {budget}")
     d = d.withColumn("seq_id", F.explode(F.sequence(first, last)))
     lo = F.greatest(F.col("offset"), F.col("seq_id") * budget)
     hi = F.least(F.col("offset") + F.col("n_tok"),
@@ -145,9 +147,9 @@ placed AS (
   FROM sized WHERE n_tok > 0),
 pieces AS (
   SELECT shard, doc_id, n_tok, doc_offset,
-         unnest(generate_series(
-             cast(floor(doc_offset / {budget}) as bigint),
-             cast(floor((doc_offset + n_tok - 1) / {budget}) as bigint)))
+         -- integer division (//), matching Spark's DIV: exact int64
+         unnest(generate_series(doc_offset // {budget},
+                                (doc_offset + n_tok - 1) // {budget}))
            AS seq_id
   FROM placed)
 SELECT shard, seq_id, doc_id,
@@ -186,17 +188,19 @@ _PAGE_SPARK = ("concat(text, ' contact user', cast(doc_id as string), "
 
 def pii_redact(docs: DataFrame) -> DataFrame:
     """(doc_id, n_emails, n_ips, redacted_md5, redacted_len) — count
-    then scrub emails and IPv4s.  Emails are redacted FIRST (an email
-    domain here contains no digit-only dotted runs, so IP counts on
-    the original text are unaffected by order).  Pure per-row codegen:
-    zero shuffle."""
+    and scrub emails and IPv4s.  Emails are redacted FIRST and n_ips
+    is counted on the email-redacted text, so each count equals the
+    number of replacement tokens actually present in the redacted
+    output — even when a dotted quad sits inside an email (e.g.
+    'user@1.2.3.4.com', which EMAIL_RE consumes whole; r5 review).
+    Pure per-row codegen: zero shuffle."""
     page = F.expr(_PAGE_SPARK)
-    red = F.regexp_replace(
-        F.regexp_replace(page, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]")
+    red_email = F.regexp_replace(page, EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red_email, IPV4_RE, "[IP]")
     return docs.select(
         "doc_id",
         F.regexp_count(page, F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(page, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(red_email, F.lit(IPV4_RE)).alias("n_ips"),
         F.md5(red).alias("redacted_md5"),
         F.length(red).alias("redacted_len"))
 
@@ -205,13 +209,14 @@ def pii_redact_sql() -> str:
     return f"""
 SELECT doc_id,
        len(regexp_extract_all(page, '{EMAIL_RE}')) AS n_emails,
-       len(regexp_extract_all(page, '{IPV4_RE}')) AS n_ips,
-       md5(red) AS redacted_md5,
-       length(red) AS redacted_len
+       len(regexp_extract_all(red_email, '{IPV4_RE}')) AS n_ips,
+       md5(regexp_replace(red_email, '{IPV4_RE}', '[IP]', 'g'))
+         AS redacted_md5,
+       length(regexp_replace(red_email, '{IPV4_RE}', '[IP]', 'g'))
+         AS redacted_len
 FROM (
   SELECT doc_id, page,
-         regexp_replace(regexp_replace(page, '{EMAIL_RE}', '[EMAIL]', 'g'),
-                        '{IPV4_RE}', '[IP]', 'g') AS red
+         regexp_replace(page, '{EMAIL_RE}', '[EMAIL]', 'g') AS red_email
   FROM (SELECT doc_id, {_PAGE_SQL} AS page FROM documents) q0) q1
 """
 
@@ -235,24 +240,33 @@ SPAN_MIN_DOCS = 2
 
 def _pos_grams(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, pos, gram): word n-grams WITH their 0-based filtered
-    token position, built per row in one codegen pass."""
-    toks = "filter(split(text, ' '), t -> t <> '')"
-    parts = ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
-    grams = (f"case when size(toks) >= {n} then "
-             f"transform(sequence(0, size(toks) - {n}), "
-             f"i -> concat_ws(' ', {parts})) else array() end")
-    return (docs.select("doc_id", F.expr(toks).alias("toks"))
-            .select("doc_id", F.posexplode(F.expr(grams))
+    token position, built per row in one codegen pass — the shared
+    :func:`textdedup.gram_window_expr` sliding window, kept positional
+    and NON-distinct (spans need every occurrence)."""
+    return (docs.select("doc_id", F.expr(TOKS_EXPR).alias("toks"))
+            .select("doc_id", F.posexplode(F.expr(gram_window_expr(n)))
                     .alias("pos", "gram")))
 
 
 def dup_ngram_spans(docs: DataFrame, n: int = SPAN_N,
-                    min_docs: int = SPAN_MIN_DOCS) -> DataFrame:
+                    min_docs: int = SPAN_MIN_DOCS,
+                    cache: list | None = None) -> DataFrame:
     """(doc_id, span_start, span_end, n_hits): maximal merged token
     spans covered by n-grams shared across >= min_docs documents.
     span bounds are inclusive 0-based filtered-token indices; n_hits
-    counts the duplicated gram starts inside the span."""
+    counts the duplicated gram starts inside the span.
+
+    ``cache``: caller-owned persist contract (same as
+    textdedup.simhash_near_dup_pairs): the positional gram table feeds
+    BOTH the frequency aggregation and the hits join, so without a
+    persist the n-fold gram explode runs twice.  When the caller
+    supplies a list, the gram frame is persisted and appended for the
+    caller to unpersist; when None (the swept path), the plan stays
+    pure-lazy to avoid unowned storage."""
     g = _pos_grams(docs, n)
+    if cache is not None:
+        g = g.persist()
+        cache.append(g)
     dup = (g.groupBy("gram")
            .agg(F.countDistinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= min_docs)

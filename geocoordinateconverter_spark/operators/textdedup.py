@@ -432,6 +432,24 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # Word n-gram Jaccard near-dup (exact, on bounded candidate pairs)
 # ---------------------------------------------------------------------------
 
+TOKS_EXPR = "filter(split(text, ' '), t -> t <> '')"
+
+
+def gram_window_expr(n: int, toks: str = "toks") -> str:
+    """The ONE sliding-window gram-builder expression (codegen, never
+    leaves the row): positional word n-grams over the filtered token
+    array ``toks``.  Single source of truth for every gram consumer —
+    _gram_arrays (distinct sets), repetition_ratio's kernel
+    (multiset), and curation's positional span grams (r5 review:
+    previously inlined three times; the next tokenization fix must
+    land exactly once)."""
+    parts = ", ".join(f"element_at({toks}, i + {j + 1})" for j in range(n))
+    return (f"case when size({toks}) >= {n} then "
+            f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> concat_ws(' ', {parts})) "
+            f"else array() end")
+
+
 def _gram_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, grams array<string>) — distinct word n-grams built
     per row in ONE codegen pass (r4).  The r3 form materialized the
@@ -439,13 +457,8 @@ def _gram_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     two full-stream shuffle joins per gram table at 100 TB; here the
     sliding window is a ``transform(sequence(...))`` over the token
     array and never leaves the row."""
-    toks = "filter(split(text, ' '), t -> t <> '')"
-    parts = ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
-    grams = (f"case when size(toks) >= {n} then "
-             f"array_distinct(transform(sequence(0, size(toks) - {n}), "
-             f"i -> concat_ws(' ', {parts}))) "
-             f"else array() end")
-    return (docs.select("doc_id", F.expr(toks).alias("toks"))
+    grams = f"array_distinct({gram_window_expr(n)})"
+    return (docs.select("doc_id", F.expr(TOKS_EXPR).alias("toks"))
             .select("doc_id", F.expr(grams).alias("grams")))
 
 
@@ -901,12 +914,7 @@ def repetition_ratio(docs: DataFrame, n: int = 3,
     and ran two hash aggregations; it remains the equivalence twin and
     the oracle's shape."""
     if kernel:
-        toks = "filter(split(text, ' '), t -> t <> '')"
-        parts = ", ".join(f"element_at(toks, i + {j + 1})"
-                          for j in range(n))
-        grams = (f"case when size(toks) >= {n} then "
-                 f"transform(sequence(0, size(toks) - {n}), "
-                 f"i -> concat_ws(' ', {parts})) else array() end")
+        grams = gram_window_expr(n)
         best = (
             "aggregate(array_sort(grams), "
             "named_struct('prev', '', 'run', 0L, 'best', 0L), "
@@ -915,7 +923,7 @@ def repetition_ratio(docs: DataFrame, n: int = 3,
             "'run', IF(x = acc.prev, acc.run + 1L, 1L), "
             "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))"
             "), acc -> acc.best)")
-        return (docs.select("doc_id", F.expr(toks).alias("toks"))
+        return (docs.select("doc_id", F.expr(TOKS_EXPR).alias("toks"))
                 .select("doc_id", F.expr(grams).alias("grams"))
                 .filter(F.size("grams") > 0)
                 .select("doc_id",

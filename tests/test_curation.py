@@ -116,6 +116,8 @@ PII_TEXTS = [
     (3, "trailing dot a@b.com. and adjacent x@y.de,z@w.fr pair"),
     (4, "version 1.2.3 is not an ip; 999.999.999.999 matches the "
         "syntactic pattern by design"),
+    (5, "dotted quad inside an email user@1.2.3.4.com is consumed by "
+        "the email redaction and must NOT count as an ip"),
 ]
 
 
@@ -139,6 +141,11 @@ def test_pii_redact_counts(spark):
     # doc 1: "10.20.30.40.50" — the regex takes the leftmost 4 groups
     assert out.loc[1, "n_ips"] == 2 + 1
     assert out.loc[4, "n_ips"] == 1 + 1        # 999... plus synthesized
+    # doc 5 (r5 review): the quad inside the email was consumed by the
+    # email pass, so n_ips counts only the synthesized IP — counts
+    # reconcile exactly with the [IP] tokens in the redacted text
+    assert out.loc[5, "n_emails"] == 1 + 1
+    assert out.loc[5, "n_ips"] == 1
 
 
 # ---- duplicate n-gram spans ----------------------------------------------

@@ -1231,12 +1231,14 @@ _WINDOW_PRIORITY = [
 # 380 KB) this is belt-and-braces.
 #
 # DELIBERATE EXCEPTION to the "front-load new queries" policy:
-# r5's one new query (shapefile_multipatch_roundtrip) is NOT in the
-# window — VERDICT r4 #4 pins the r5 window to exactly the burned set
-# so all 50 re-green, and displacing any of them (the alternative)
-# would push that entry's staleness past the ≤2-round rule.  The
-# MultiPatch query is local_verify- and pytest-covered this round and
-# rotates into the r6 window.
+# r5's new queries (shapefile_multipatch_roundtrip plus the four
+# curation ops: stratified_sample, pack_sequences, pii_redact,
+# dup_ngram_spans) are NOT in the window — VERDICT r4 #4 pins the r5
+# window to exactly the burned set so all 50 re-green, and displacing
+# any of them (the alternative) would push that entry's staleness past
+# the ≤2-round rule.  All five are local_verify- and pytest-covered
+# this round (sweeps at sf0.01 AND sf0.1) and are the FIRST candidates
+# for the r6 window rotation.
 
 
 _ORACLE_SIZES: dict | None = None

@@ -792,6 +792,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = lambda s, d: cu.pack_sequences(_docs(s, d))
     q["pii_redact"] = lambda s, d: cu.pii_redact(_docs(s, d))
     q["dup_ngram_spans"] = lambda s, d: cu.dup_ngram_spans(_docs(s, d))
+    q["decontaminate_bench"] = lambda s, d: cu.decontaminate(_docs(s, d))
+    q["mixture_resample"] = lambda s, d: cu.mixture_resample(_docs(s, d))
+    q["token_budget_select"] = \
+        lambda s, d: cu.token_budget_select(_docs(s, d))
+    q["line_dedup_reassemble"] = lambda s, d: cu.line_dedup(_docs(s, d))
 
     def q_ann(spark, sf_dir):
         _register(spark, sf_dir)
@@ -1231,14 +1236,15 @@ _WINDOW_PRIORITY = [
 # 380 KB) this is belt-and-braces.
 #
 # DELIBERATE EXCEPTION to the "front-load new queries" policy:
-# r5's new queries (shapefile_multipatch_roundtrip plus the four
+# r5's new queries (shapefile_multipatch_roundtrip plus the eight
 # curation ops: stratified_sample, pack_sequences, pii_redact,
-# dup_ngram_spans) are NOT in the window — VERDICT r4 #4 pins the r5
-# window to exactly the burned set so all 50 re-green, and displacing
-# any of them (the alternative) would push that entry's staleness past
-# the ≤2-round rule.  All five are local_verify- and pytest-covered
-# this round (sweeps at sf0.01 AND sf0.1) and are the FIRST candidates
-# for the r6 window rotation.
+# dup_ngram_spans, decontaminate_bench, mixture_resample,
+# token_budget_select, line_dedup_reassemble) are NOT in the window —
+# VERDICT r4 #4 pins the r5 window to exactly the burned set so all 50
+# re-green, and displacing any of them (the alternative) would push
+# that entry's staleness past the ≤2-round rule.  All nine are
+# local_verify- and pytest-covered this round and are the FIRST
+# candidates for the r6 window rotation.
 
 
 _ORACLE_SIZES: dict | None = None
@@ -1500,6 +1506,10 @@ GROUP BY lang
     o["pack_sequences"] = cu.pack_sequences_sql()
     o["pii_redact"] = cu.pii_redact_sql()
     o["dup_ngram_spans"] = cu.dup_ngram_spans_sql()
+    o["decontaminate_bench"] = cu.decontaminate_sql()
+    o["mixture_resample"] = cu.mixture_resample_sql()
+    o["token_budget_select"] = cu.token_budget_select_sql()
+    o["line_dedup_reassemble"] = cu.line_dedup_sql()
     o["minhash_rerank_exact"] = td.minhash_rerank_exact_sql()
     o["ann_cosine_topk"] = sim.brute_force_topk_sql(k=5)
     o["ann_lsh_buckets"] = sim.lsh_buckets_sql()

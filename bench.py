@@ -173,6 +173,26 @@ def q_dup_spans(spark, sf_dir):
                               cache=_DUP_SPANS_BENCH_CACHE)
 
 
+def q_decon(spark, sf_dir):
+    return cu.decontaminate(spark.table("documents"))
+
+
+# same caller-owned contract as the simhash/dup-spans caches: the line
+# table feeds both the frequency agg and the reassembly
+_LINE_DEDUP_BENCH_CACHE: list = []
+
+
+def q_line_dedup(spark, sf_dir):
+    for c in _LINE_DEDUP_BENCH_CACHE:
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    _LINE_DEDUP_BENCH_CACHE.clear()
+    return cu.line_dedup(spark.table("documents"),
+                         cache=_LINE_DEDUP_BENCH_CACHE)
+
+
 BENCH_QUERIES = {
     "tile_t3_cells": q_tile,
     "geoparse_gk": q_geoparse,
@@ -184,10 +204,14 @@ BENCH_QUERIES = {
     "simhash_near_dup_pairs": q_simhash_pairs,
     "dedup_exact": q_dedup,
     "tpch_q1": q_tpch1,
-    # r5 curation additions (the two with nontrivial plans; sampling
-    # and pii_redact are zero-shuffle codegen filters, not worth slots)
+    # r5 curation additions (the ones with nontrivial plans; sampling,
+    # mixture resampling and pii_redact are zero-shuffle codegen maps,
+    # not worth slots; token_budget_select is two tiny aggs + a
+    # partitioned window over the same scan as pack_sequences)
     "pack_sequences": q_pack,
     "dup_ngram_spans": q_dup_spans,
+    "decontaminate_bench": q_decon,
+    "line_dedup_reassemble": q_line_dedup,
 }
 
 

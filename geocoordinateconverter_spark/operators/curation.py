@@ -1,8 +1,12 @@
 """Corpus-curation operators for the training-data pipeline:
 deterministic stratified sampling, concat-and-chunk sequence packing,
-PII redaction, and duplicate n-gram span detection (the bounded
+PII redaction, duplicate n-gram span detection (the bounded
 exact-substring-dedup analog of Lee et al., "Deduplicating Training
-Data Makes Language Models Better").
+Data Makes Language Models Better"), benchmark decontamination
+(GPT-3 appendix C / Dolma n-gram overlap), domain-mixture epoch
+resampling (Pile-style weights), quality-ranked token-budget
+selection, and line-level boilerplate dedup with reassembly
+(RefinedWeb/CCNet).
 
 Same design rules as :mod:`textdedup` (these are the r5 additions to
 that family):
@@ -331,4 +335,369 @@ islands AS (
 SELECT doc_id, min(pos) AS span_start, max(pos) + {n - 1} AS span_end,
        count(*) AS n_hits
 FROM islands GROUP BY doc_id, island
+"""
+
+
+def _grams_duck(n: int, toks: str = "toks") -> str:
+    """DuckDB twin of :func:`textdedup.gram_window_expr` over a LIST
+    column (the lead-window formulation in :func:`dup_ngram_spans_sql`
+    needs an exploded word table; this one grams a per-row list in
+    place, which is what the decontamination oracle wants for the
+    snippet side)."""
+    return (f"CASE WHEN len({toks}) >= {n} THEN "
+            f"list_transform(generate_series(1, len({toks}) - {n} + 1), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) "
+            f"ELSE [] END")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+# The Brown et al. (GPT-3, appendix C) / Dolma decontamination rule:
+# a training document is contaminated when it shares any word n-gram
+# with a held-out benchmark example.  The benchmark side is always
+# tiny relative to the corpus (eval sets are ~1e5 examples vs 1e10
+# docs), so the plan broadcasts the distinct benchmark-gram table and
+# the 100 TB side stays map-only: per-row gram build (the shared
+# sliding-window expression), broadcast hash join, then a per-doc agg
+# whose map-side partial combine collapses each doc's hits before the
+# single small shuffle.  No external data: the benchmark is carved
+# deterministically out of the corpus itself (a hash60-selected ~6% of
+# docs contribute a 10-token snippet), which also guarantees the
+# positive path is exercised — every benchmark source doc contains its
+# own snippet.
+
+DECON_N = 6
+BENCH_MOD = 100
+BENCH_RATE = 6      # ~6% of docs serve as the synthetic benchmark
+SNIP_START = 4      # 1-based first snippet token
+SNIP_LEN = 10       # tokens per snippet -> SNIP_LEN - DECON_N + 1 grams
+
+
+def _bench_sel_col():
+    return hash60_col(F.concat(F.lit("bm:"), F.col("doc_id").cast("string"))) \
+        % BENCH_MOD
+
+
+def decontaminate(docs: DataFrame, n: int = DECON_N) -> DataFrame:
+    """(doc_id, n_gram_hits, n_bench_docs): corpus docs sharing at
+    least one word n-gram with the synthetic benchmark, with how many
+    distinct benchmark grams and benchmark examples they hit.  Grams
+    are per-doc DISTINCT on both sides (the rule is membership, not
+    multiplicity)."""
+    bench = (docs
+             .filter(_bench_sel_col() < BENCH_RATE)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.expr(f"slice({TOKS_EXPR}, {SNIP_START}, {SNIP_LEN})")
+                     .alias("toks")))
+    bench_grams = bench.select(
+        "bench_id",
+        F.explode(F.expr(f"array_distinct({gram_window_expr(n)})"))
+        .alias("gram"))
+    doc_grams = (docs.select("doc_id", F.expr(TOKS_EXPR).alias("toks"))
+                 .select("doc_id",
+                         F.explode(
+                             F.expr(f"array_distinct({gram_window_expr(n)})"))
+                         .alias("gram")))
+    return (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_gram_hits"),
+                 F.countDistinct("bench_id").alias("n_bench_docs")))
+
+
+def decontaminate_sql(n: int = DECON_N) -> str:
+    sel = hash60_sql("concat('bm:', cast(doc_id as varchar))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+bench AS (
+  SELECT doc_id AS bench_id,
+         list_slice(toks, {SNIP_START}, {SNIP_START + SNIP_LEN - 1}) AS toks
+  FROM toks WHERE {sel} % {BENCH_MOD} < {BENCH_RATE}),
+bench_grams AS (
+  SELECT DISTINCT bench_id, gram FROM (
+    SELECT bench_id, unnest({_grams_duck(n)}) AS gram FROM bench) q),
+doc_grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_grams_duck(n)}) AS gram FROM toks) q)
+SELECT d.doc_id,
+       count(DISTINCT d.gram) AS n_gram_hits,
+       count(DISTINCT b.bench_id) AS n_bench_docs
+FROM doc_grams d JOIN bench_grams b USING (gram)
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling (epoch weighting)
+# ---------------------------------------------------------------------------
+# The Pile / Dolma mixture rule: each source domain gets a (possibly
+# fractional) epoch count; a doc appears floor(epochs) times plus one
+# more with probability frac(epochs).  The fractional keep is the same
+# pure hash60(doc_id) decision as stratified sampling — no RNG state,
+# reproducible under task retry — so the whole op is map-only: a
+# when-chain literal lookup, an int add, and a sequence explode whose
+# fan-out equals the epoch count (output rows ~= sum of weights, never
+# a shuffle).  Zero-epoch domains drop entirely.
+
+MIX_MOD = 1_000_000
+MIX_EPOCHS_PPM: dict[str, int] = {
+    "src0": 2_500_000,   # 2.5 epochs: upweighted
+    "src1": 1_600_000,
+    "src2": 300_000,     # downsampled below one epoch
+    "src3": 0,           # removed domain
+}
+MIX_DEFAULT_PPM = 1_000_000
+
+
+def mixture_resample(docs: DataFrame,
+                     ppm: dict[str, int] | None = None) -> DataFrame:
+    """(doc_id, source, copy_idx): each doc repeated to its domain's
+    epoch count; copy_idx is 1-based."""
+    ppm = MIX_EPOCHS_PPM if ppm is None else ppm
+    epochs = F.lit(MIX_DEFAULT_PPM)
+    for s, v in ppm.items():
+        epochs = F.when(F.col("source") == s, F.lit(v)).otherwise(epochs)
+    bucket = hash60_col(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % MIX_MOD
+    d = (docs.select("doc_id", "source", epochs.alias("ppm"),
+                     bucket.alias("mix_bucket"))
+         .withColumn("n_copies",
+                     F.expr(f"ppm DIV {MIX_MOD}")
+                     + F.when(F.col("mix_bucket") < F.col("ppm") % MIX_MOD,
+                              1).otherwise(0)))
+    # Spark sequence(1, 0) would count DOWN ([1, 0]); DuckDB
+    # generate_series(1, 0) is empty — filter first so neither path is
+    # taken on zero-copy rows
+    return (d.filter(F.col("n_copies") >= 1)
+            .select("doc_id", "source",
+                    F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+                    .alias("copy_idx"))
+            .withColumn("copy_idx", F.col("copy_idx").cast("long")))
+
+
+def mixture_resample_sql(ppm: dict[str, int] | None = None) -> str:
+    ppm = MIX_EPOCHS_PPM if ppm is None else ppm
+    whens = " ".join(f"WHEN source = '{k}' THEN {v}" for k, v in ppm.items())
+    bucket = hash60_sql("concat('mix:', cast(doc_id as varchar))")
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CASE {whens} ELSE {MIX_DEFAULT_PPM} END AS ppm,
+         {bucket} % {MIX_MOD} AS mix_bucket
+  FROM documents),
+copies AS (
+  SELECT doc_id, source,
+         ppm // {MIX_MOD}
+           + CASE WHEN mix_bucket < ppm % {MIX_MOD} THEN 1 ELSE 0 END
+           AS n_copies
+  FROM sized)
+SELECT doc_id, source,
+       unnest(generate_series(1, n_copies)) AS copy_idx
+FROM copies WHERE n_copies >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-ranked token-budget selection
+# ---------------------------------------------------------------------------
+# "Keep the best documents until the token budget is spent" — the
+# data-selection step of every curated pretraining mix.  The naive
+# formulation is a GLOBAL sort by quality with a running token sum:
+# a single-partition window that cannot scale.  This one is exact and
+# scales: (1) docs bucket by their integer quality score; (2) a
+# per-bucket token-sum aggregation produces a table whose cardinality
+# is the number of DISTINCT SCORES (tiny — it, not the corpus, takes
+# the global window); (3) each bucket's starting offset and the budget
+# broadcast back; (4) the running sum inside each bucket is a window
+# PARTITIONED BY score — every bucket ranks in parallel, no global
+# sort ever happens.  Ranking is total (score desc, doc_id asc), so
+# the kept set is unique and reproducible.  All arithmetic is exact
+# int64 (budget = pct% of corpus tokens, integer division).
+
+BUDGET_PCT = 30
+# quality score: mean token length in tenths of a character — integer,
+# bounded cardinality, and a real (if crude) fluency proxy
+_SUM_LEN = "aggregate(toks, 0L, (a, t) -> a + length(t))"
+
+
+def token_budget_select(docs: DataFrame, pct: int = BUDGET_PCT) -> DataFrame:
+    """(doc_id, score, n_tok, cum_tok): the docs kept by ranking on
+    (score desc, doc_id asc) until pct% of corpus tokens; cum_tok is
+    the running kept-token count through each doc in rank order."""
+    d = (docs.select("doc_id", F.expr(TOKS_EXPR).alias("toks"))
+         .select("doc_id",
+                 F.expr("size(toks)").cast("long").alias("n_tok"),
+                 F.expr(_SUM_LEN).alias("sum_len"))
+         .filter(F.col("n_tok") > 0)
+         .select("doc_id",
+                 F.expr("(10 * sum_len) DIV n_tok").alias("score"),
+                 "n_tok"))
+    buckets = d.groupBy("score").agg(F.sum("n_tok").alias("bkt_tok"))
+    # the ONLY single-partition window in the op, over the
+    # distinct-score table (cardinality ~ tens at any corpus size; the
+    # constant partition key states that on purpose, instead of the
+    # implicit-global-window warning)
+    w_off = (Window.partitionBy(F.lit(0)).orderBy(F.desc("score"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy(F.lit(0))
+    # the budget (pct% of corpus tokens) rides the bucket table as a
+    # full-window sum — no scalar crossJoin, so the corpus side sees
+    # exactly one BroadcastHashJoin on score and zero BNLJ
+    offs = (buckets.select(
+        "score",
+        F.coalesce(F.sum("bkt_tok").over(w_off), F.lit(0)).alias("bkt_off"),
+        (F.sum("bkt_tok").over(w_all) * pct).alias("budget_x100"))
+        .withColumn("budget", F.expr("budget_x100 DIV 100"))
+        .drop("budget_x100"))
+    w_in = (Window.partitionBy("score").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (d.join(F.broadcast(offs), "score")
+              .withColumn("cum_tok",
+                          F.col("bkt_off") + F.sum("n_tok").over(w_in)))
+    return (ranked.filter(F.col("cum_tok") <= F.col("budget"))
+            .select("doc_id", "score", "n_tok", "cum_tok"))
+
+
+def token_budget_select_sql(pct: int = BUDGET_PCT) -> str:
+    return f"""
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+         cast(list_sum(list_transform(
+           list_filter(string_split(text, ' '), t -> t <> ''),
+           t -> length(t))) as bigint) AS sum_len
+  FROM documents),
+scored AS (
+  SELECT doc_id, (10 * sum_len) // n_tok AS score, n_tok
+  FROM sized WHERE n_tok > 0),
+buckets AS (
+  SELECT score, cast(sum(n_tok) as bigint) AS bkt_tok
+  FROM scored GROUP BY score),
+offs AS (
+  SELECT score, cast(coalesce(sum(bkt_tok) OVER (
+           ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+           AS bkt_off,
+         (cast(sum(bkt_tok) OVER () as bigint) * {pct}) // 100 AS budget
+  FROM buckets),
+ranked AS (
+  SELECT s.doc_id, s.score, s.n_tok,
+         o.bkt_off + cast(sum(s.n_tok) OVER (
+           PARTITION BY s.score ORDER BY s.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+           AS cum_tok,
+         o.budget
+  FROM scored s JOIN offs o USING (score))
+SELECT doc_id, score, n_tok, cum_tok FROM ranked WHERE cum_tok <= budget
+"""
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup with reassembly
+# ---------------------------------------------------------------------------
+# RefinedWeb/CCNet-style line dedup: a LINE occurring in >= min_docs
+# distinct documents is boilerplate (cookie banners, nav bars,
+# footers) and is removed from every document, which is then
+# reassembled from its surviving lines in order.  Unlike
+# dup_ngram_spans (which MARKS spans), this op actually rewrites the
+# corpus.  The fixture text is a single line, so the op synthesizes
+# the line structure deterministically on both engines (the
+# pii_redact precedent): a per-source promo header (shared by ~1/20th
+# of docs — dropped), the body chunked into 12-token lines (dropped
+# only where real cross-doc duplication exists), and a global footer
+# (shared by all — dropped).  Scale shape: per-row line split
+# (map-only), one line-hash aggregation whose map-side combine sees
+# boilerplate collapse early, a BROADCAST join of the drop set (the
+# boilerplate table is orders smaller than the corpus), and a per-doc
+# reassembly agg.
+
+LINE_TOKS = 12
+LINE_MIN_DOCS = 4
+
+_LINES_EXPR = (
+    "concat("
+    "array(concat('promo ', source, ' network read now')), "
+    f"case when size(toks) > 0 then "
+    f"transform(sequence(0, (size(toks) - 1) DIV {LINE_TOKS}), "
+    f"i -> concat_ws(' ', slice(toks, i * {LINE_TOKS} + 1, {LINE_TOKS}))) "
+    "else array() end, "
+    "array('subscribe to the newsletter today'))")
+
+
+def line_dedup(docs: DataFrame, min_docs: int = LINE_MIN_DOCS,
+               cache: list | None = None) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_md5, clean_len): per-doc line
+    counts before/after boilerplate removal and the md5/length of the
+    newline-reassembled cleaned text.
+
+    ``cache``: caller-owned persist contract (see dup_ngram_spans) —
+    the line table feeds both the frequency aggregation and the
+    reassembly; a caller that persists halves the split work."""
+    lines = (docs.select("doc_id", "source", F.expr(TOKS_EXPR).alias("toks"))
+             .select("doc_id",
+                     F.posexplode(F.expr(_LINES_EXPR)).alias("pos", "line")))
+    if cache is not None:
+        lines = lines.persist()
+        cache.append(lines)
+    dup = (lines.groupBy(F.md5("line").alias("line_md5"))
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("line_md5", F.lit(1).alias("dup_flag")))
+    flagged = (lines.withColumn("line_md5", F.md5("line"))
+               .join(F.broadcast(dup), "line_md5", "left")
+               .withColumn("is_dup", F.coalesce(F.col("dup_flag"), F.lit(0))))
+    agg = (flagged.groupBy("doc_id")
+           .agg(F.count("*").alias("n_lines"),
+                F.sum(F.lit(1) - F.col("is_dup")).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("pos", "is_dup", "line"))),
+                            lambda x: x["is_dup"] == 0),
+                        lambda x: x["line"]),
+                    "\n").alias("clean")))
+    return agg.select("doc_id", "n_lines", "n_kept",
+                      F.md5("clean").alias("clean_md5"),
+                      F.length("clean").cast("long").alias("clean_len"))
+
+
+def line_dedup_sql(min_docs: int = LINE_MIN_DOCS) -> str:
+    chunk = (f"list_transform(generate_series(0, (len(toks) - 1) // "
+             f"{LINE_TOKS}), i -> array_to_string(list_slice(toks, "
+             f"i * {LINE_TOKS} + 1, i * {LINE_TOKS} + {LINE_TOKS}), ' '))")
+    keptline = "CASE WHEN is_dup = 0 THEN line END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+paged AS (
+  SELECT doc_id,
+         ['promo ' || source || ' network read now']
+           || CASE WHEN len(toks) > 0 THEN {chunk} ELSE [] END
+           || ['subscribe to the newsletter today'] AS lns
+  FROM toks),
+lines AS (
+  SELECT doc_id, generate_subscripts(lns, 1) - 1 AS pos, unnest(lns) AS line
+  FROM paged),
+dup AS (
+  SELECT md5(line) AS line_md5 FROM lines
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}),
+flagged AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN md5(line) IN (SELECT line_md5 FROM dup)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM lines)
+SELECT doc_id,
+       count(*) AS n_lines,
+       cast(sum(1 - is_dup) as bigint) AS n_kept,
+       md5(coalesce(string_agg({keptline}, chr(10) ORDER BY pos), ''))
+         AS clean_md5,
+       length(coalesce(string_agg({keptline}, chr(10) ORDER BY pos), ''))
+         AS clean_len
+FROM flagged GROUP BY doc_id
 """

@@ -193,6 +193,193 @@ def test_dup_ngram_spans_matches_reference(spark):
     assert len(ref) >= 3  # the fixture genuinely exercises merging
 
 
+def _hash60(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _toks(text: str) -> list:
+    return [t for t in text.split(" ") if t]
+
+
+# ---- benchmark decontamination -------------------------------------------
+
+def _decon_reference(rows, n):
+    bench = {i: _toks(t)[cu.SNIP_START - 1:
+                        cu.SNIP_START - 1 + cu.SNIP_LEN]
+             for i, t in rows
+             if _hash60(f"bm:{i}") % cu.BENCH_MOD < cu.BENCH_RATE}
+    bgrams: dict[str, set] = {}
+    for b, sn in bench.items():
+        for p in range(len(sn) - n + 1):
+            bgrams.setdefault(" ".join(sn[p:p + n]), set()).add(b)
+    out = []
+    for i, t in rows:
+        tk = _toks(t)
+        hits = {g for p in range(len(tk) - n + 1)
+                if (g := " ".join(tk[p:p + n])) in bgrams}
+        if hits:
+            out.append((i, len(hits),
+                        len(set().union(*(bgrams[g] for g in hits)))))
+    return sorted(out)
+
+
+def test_decontaminate_matches_reference(spark):
+    # doc_ids 0..199: ~12 land in the synthetic benchmark; doc 1000+i
+    # copies bench doc i's text verbatim -> guaranteed cross-doc
+    # contamination beyond self-hits
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(20)))
+            for i in range(200)]
+    bench_ids = [i for i, _ in rows
+                 if _hash60(f"bm:{i}") % cu.BENCH_MOD < cu.BENCH_RATE]
+    assert len(bench_ids) >= 3  # fixture genuinely exercises the op
+    rows += [(1000 + i, dict(rows)[i]) for i in bench_ids[:3]]
+    got = (cu.decontaminate(_docs_df(spark, rows))
+           .toPandas())
+    got_t = sorted(map(tuple, got.to_numpy().tolist()))
+    assert got_t == _decon_reference(rows, cu.DECON_N)
+    # the verbatim copies are flagged
+    flagged = {d for d, _, _ in got_t}
+    assert {1000 + i for i in bench_ids[:3]} <= flagged
+
+
+def test_decontaminate_short_docs_no_grams(spark):
+    # docs shorter than SNIP_START + n tokens can't contribute grams
+    # from the snippet window; docs with < n tokens produce none at all
+    rows = [(i, "a b c") for i in range(50)]
+    assert cu.decontaminate(_docs_df(spark, rows)).count() == 0
+
+
+# ---- domain-mixture resampling -------------------------------------------
+
+def _mix_reference(rows_src, ppm):
+    out = []
+    for i, src in rows_src:
+        p = ppm.get(src, cu.MIX_DEFAULT_PPM)
+        n = p // cu.MIX_MOD
+        if _hash60(f"mix:{i}") % cu.MIX_MOD < p % cu.MIX_MOD:
+            n += 1
+        out.extend((i, src, k) for k in range(1, n + 1))
+    return sorted(out)
+
+
+def test_mixture_resample_matches_reference(spark):
+    rows_src = [(i, f"src{i % 5}") for i in range(300)]
+    df = spark.createDataFrame(
+        [(i, "txt", "en", s, 3) for i, s in rows_src],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = cu.mixture_resample(df).toPandas()
+    got_t = sorted(map(tuple, got.to_numpy().tolist()))
+    assert got_t == _mix_reference(rows_src, cu.MIX_EPOCHS_PPM)
+    # zero-epoch domain fully dropped; >1-epoch domain repeats
+    assert not any(s == "src3" for _, s, _ in got_t)
+    per_src0 = [c for _, s, c in got_t if s == "src0"]
+    assert max(per_src0) == 3  # 2.5 epochs -> 2 or 3 copies
+    n0 = len([i for i, s in rows_src if s == "src0"])
+    assert abs(len(per_src0) / n0 - 2.5) < 0.2  # hash-uniform fraction
+
+
+# ---- token-budget selection ----------------------------------------------
+
+def _budget_reference(rows, pct):
+    scored = []
+    for i, t in rows:
+        tk = _toks(t)
+        if tk:
+            scored.append((10 * sum(len(w) for w in tk) // len(tk),
+                           i, len(tk)))
+    total = sum(n for _, _, n in scored)
+    budget = total * pct // 100
+    out, cum = [], 0
+    for score, i, n in sorted(scored, key=lambda r: (-r[0], r[1])):
+        cum += n
+        if cum <= budget:
+            out.append((i, score, n, cum))
+    return sorted(out)
+
+
+def test_token_budget_select_matches_reference(spark):
+    # scores collide on purpose (few distinct word lengths) so the
+    # in-bucket doc_id tie-break is exercised, incl. a partial bucket
+    rows = [(i, " ".join(["x" * (1 + (i + j) % 4) for j in range(5 + i % 7)]))
+            for i in range(120)]
+    rows += [(200, ""), (201, "   ")]  # zero-token docs never selected
+    got = (cu.token_budget_select(_docs_df(spark, rows)).toPandas())
+    got_t = sorted(map(tuple, got.to_numpy().tolist()))
+    ref = _budget_reference(rows, cu.BUDGET_PCT)
+    assert got_t == ref
+    assert 0 < len(ref) < 120  # the budget genuinely cuts
+
+
+def test_token_budget_never_over_budget_and_maximal(spark):
+    rows = [(i, " ".join(["word"] * (1 + i % 9))) for i in range(80)]
+    got = cu.token_budget_select(_docs_df(spark, rows)).toPandas()
+    total = sum(len(_toks(t)) for _, t in rows)
+    budget = total * cu.BUDGET_PCT // 100
+    assert got["n_tok"].sum() <= budget
+    # maximality: the next doc in rank order would not have fit
+    ref_all = sorted(
+        ((10 * sum(len(w) for w in _toks(t)) // len(_toks(t)), i,
+          len(_toks(t))) for i, t in rows if _toks(t)),
+        key=lambda r: (-r[0], r[1]))
+    kept = set(got["doc_id"])
+    cum = got["n_tok"].sum()
+    nxt = next(((i, n) for _, i, n in ref_all if i not in kept), None)
+    if nxt is not None:
+        assert cum + nxt[1] > budget
+
+
+# ---- line-level dedup + reassembly ---------------------------------------
+
+def _line_reference(rows, min_docs):
+    # rows: (doc_id, text, source)
+    pages = {}
+    for i, t, src in rows:
+        tk = _toks(t)
+        chunks = [" ".join(tk[p:p + cu.LINE_TOKS])
+                  for p in range(0, len(tk), cu.LINE_TOKS)]
+        pages[i] = ([f"promo {src} network read now"] + chunks
+                    + ["subscribe to the newsletter today"])
+    from collections import defaultdict
+    owners = defaultdict(set)
+    for i, lns in pages.items():
+        for ln in lns:
+            owners[ln].add(i)
+    out = []
+    for i, lns in pages.items():
+        kept = [ln for ln in lns if len(owners[ln]) < min_docs]
+        clean = "\n".join(kept)
+        import hashlib
+        out.append((i, len(lns), len(kept),
+                    hashlib.md5(clean.encode()).hexdigest(), len(clean)))
+    return sorted(out)
+
+
+def test_line_dedup_matches_reference(spark):
+    rows = [
+        (0, " ".join(f"a{j}" for j in range(30)), "sA"),
+        (1, " ".join(f"a{j}" for j in range(30)), "sA"),   # dup body
+        (2, " ".join(f"a{j}" for j in range(30)), "sA"),   # dup body
+        (3, " ".join(f"b{j}" for j in range(25)), "sA"),
+        (4, " ".join(f"c{j}" for j in range(5)), "sB"),
+        (5, "", "sB"),                                     # header+footer only
+        (6, "  d0  d1   d2 ", "sB"),                       # multispace
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = cu.line_dedup(df, min_docs=3).toPandas()
+    got_t = sorted(map(tuple, got.to_numpy().tolist()))
+    ref = _line_reference(rows, 3)
+    assert got_t == ref
+    # docs 0-2 lose their identical body chunks AND the sA header
+    # (4 owners >= 3); doc 3 keeps its body but loses header + footer
+    by_id = {r[0]: r for r in ref}
+    assert by_id[0][2] == 0           # everything boilerplate
+    assert by_id[3][2] == 3           # 25 toks -> 3 chunks kept
+    assert by_id[5][2] == 0 and by_id[5][4] == 0  # empty doc, clean == ''
+
+
 def test_dup_ngram_spans_merges_overlaps(spark):
     # doc1 repeats doc0's 8-token prefix twice, separated by filler —
     # expect TWO islands in doc1 covering [1,8]-ish and the tail

@@ -839,6 +839,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ivf_train_kmeans_exact(spark.table("embeddings"), n_iter=3)
     q["ann_ivf_train_kmeans"] = q_ivf_kmeans
 
+    # ---- r5: product quantization (the compressed-corpus ANN path) -------
+    def q_pq_codes(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.pq_codes_rows(spark.table("embeddings"))
+    q["ann_pq_codes"] = q_pq_codes
+
+    def q_pq_adc(spark, sf_dir):
+        # declared compressed-domain full-scan baseline (BNLJ like
+        # ann_cosine_topk — the cross product IS the semantics; PQ
+        # makes each pair an 8-term table fold over 8-byte codes)
+        _register(spark, sf_dir)
+        return sim.pq_adc_topk(spark.table("embeddings"), k=5)
+    q["ann_pq_adc_topk"] = q_pq_adc
+
+    def q_ivfpq(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.ivfpq_topk(spark.table("embeddings"), k=5, nprobe=3)
+    q["ann_ivfpq_topk"] = q_ivfpq
+
+    def q_ivfpq_rerank(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.ivfpq_rerank_topk(spark.table("embeddings"), k=5,
+                                     nprobe=3, shortlist=50)
+    q["ann_ivfpq_rerank_topk"] = q_ivfpq_rerank
+
     def q_cnd(spark, sf_dir):
         _register(spark, sf_dir)
         return sim.cosine_near_dup(spark.table("embeddings"),
@@ -1110,6 +1135,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _recall_report(
             sim.clustered_embeddings(spark.table("embeddings")))
     q["ann_recall_report_clustered"] = q_ann_recall_clustered
+
+    def q_pq_recall(spark, sf_dir):
+        # r5 PQ diagnostic over the clustered fixture: raw ADC recall
+        # is quantization-error-bound (untrained uniform codebooks),
+        # ivfpq adds the cell restriction, and the exact-rerank refine
+        # recovers to within 0.02 of the nprobe cell bound — the
+        # monotone story pytest asserts and the oracle pins exactly
+        _register(spark, sf_dir)
+        return sim.pq_recall_report(
+            sim.clustered_embeddings(spark.table("embeddings")), k=5)
+    q["ann_pq_recall_report"] = q_pq_recall
 
     def q_stream_flagship(spark, sf_dir):
         # streaming lineage under the DRIVER gate (VERDICT r2 #6): the
@@ -1707,6 +1743,20 @@ FROM ({sim.over_clustered_sql(_recall_arms)}) q CROSS JOIN nq
     # ---- r3 additions ---------------------------------------------------
     o["ann_ivf_nprobe_topk"] = sim.ivf_nprobe_topk_sql(k=5, nprobe=3)
     o["ann_ivf_train_kmeans"] = sim.ivf_train_kmeans_exact_sql(n_iter=3)
+
+    # ---- r5: product quantization ----------------------------------------
+    o["ann_pq_codes"] = sim.pq_codes_rows_sql()
+    o["ann_pq_adc_topk"] = sim.pq_adc_topk_sql(k=5)
+    o["ann_ivfpq_topk"] = sim.ivfpq_topk_sql(k=5, nprobe=3)
+    o["ann_ivfpq_rerank_topk"] = sim.ivfpq_rerank_topk_sql(
+        k=5, nprobe=3, shortlist=50)
+    # clustered-fixture PQ recall: the fixture CTE merges into the
+    # report's own WITH head (the report starts "WITH exact AS")
+    o["ann_pq_recall_report"] = sim.over_clustered_sql(
+        sim.pq_recall_report_sql(k=5)).replace(
+        "WITH exact AS",
+        f"WITH emb_clustered AS "
+        f"(SELECT * FROM {sim.clustered_embeddings_sql()} qc), exact AS", 1)
 
     o["streaming_stateful_dedup"] = (
         "SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, "

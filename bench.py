@@ -126,6 +126,10 @@ def q_ann_ivf_nprobe(spark, sf_dir):
     return sim.ivf_nprobe_topk(spark.table("embeddings"), k=5, nprobe=3)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    return sim.ivfpq_topk(spark.table("embeddings"), k=5, nprobe=3)
+
+
 # bench owns the simhash band-table cache: simhash_near_dup_pairs only
 # persists under the caller-owned contract (r5), and the measurement
 # must keep r4's semantics (banded frame computed once per action, not
@@ -201,6 +205,7 @@ BENCH_QUERIES = {
     "ann_cosine_topk": q_ann,
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_nprobe_topk": q_ann_ivf_nprobe,
+    "ann_ivfpq_topk": q_ann_ivfpq,
     "simhash_near_dup_pairs": q_simhash_pairs,
     "dedup_exact": q_dedup,
     "tpch_q1": q_tpch1,

@@ -801,3 +801,383 @@ def dot_pandas_udf(dim: int = DIM):
         return pd.Series(acc)
 
     return _udf
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r5): the third ANN scale path, and the one that
+# actually carries a 100 TB embedding corpus.  IVF-flat still scans raw
+# vectors (256 B/vector at DIM=64 float32) inside each probed cell;
+# PQ compresses every vector to PQ_M 4-bit codes (8 codes → 8 bytes
+# stored as ints, a 32× scan-size reduction) by quantizing each of the
+# PQ_M subspaces against its own PQ_K-centroid codebook.  A query then
+# scores candidates WITHOUT touching raw vectors: it precomputes a
+# PQ_M×PQ_K lookup table of per-subspace scores (ADC — asymmetric
+# distance computation) and each candidate's score is an 8-term table
+# fold over its codes.
+#
+# Codebooks are the same deterministic integer-mixed closed form as the
+# IVF quantizer (no RNG, reproducible in both engines, scaled to
+# [-0.25, 0.25) to span the fixture's ±2σ), so encode/LUT/score are
+# all bit-identical between the Arrow kernels and the DuckDB long-form
+# folds.  Ranking maximizes Σ_m (q_m·c_m − ‖c_m‖²/2), which is exactly
+# minimizing the ADC squared-L2 proxy Σ_m ‖q_m − c_{m,code_m}‖² (the
+# per-query ‖q_m‖² term is rank-constant).
+#
+# Scale shapes:
+# * encode — map-only (one Arrow crossing), done ONCE at ingest; at
+#   10¹⁰ vectors the codes table is ~80 GB vs 2.5 TB raw.
+# * pq_adc_topk — the compressed-domain full scan: corpus codes ×
+#   broadcast query LUTs.  Declared a BNLJ baseline like
+#   ann_cosine_topk: the cross product is the semantics; PQ makes each
+#   pair 8 adds instead of 64 mul-adds on 32× less I/O.
+# * ivfpq_topk — the production path: candidates from the IVF cell
+#   equi-join (nprobe cells per query, corpus side untouched), scored
+#   via ADC folds.  No BNLJ, no raw-vector reads after ingest.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                      # subspaces
+PQ_K = 16                     # centroids per subspace (4-bit codes)
+PQ_SUBDIM = DIM // PQ_M       # dims per subspace
+
+
+def pq_coef(m: int, j: int, d: int) -> float:
+    """Deterministic codebook component in [-0.25, 0.25); d 0-based."""
+    idx = (m * PQ_K + j) * PQ_SUBDIM + d + 7
+    return (((idx * 2654435761) % 1000000) / 1000000.0 - 0.5) / 2.0
+
+
+def _pq_halfnorm(m: int, j: int) -> float:
+    s = 0.0
+    for d in range(PQ_SUBDIM):
+        s = s + pq_coef(m, j, d) * pq_coef(m, j, d)
+    return s / 2.0
+
+
+def pq_codebook() -> np.ndarray:
+    """(PQ_M, PQ_K, PQ_SUBDIM) float64 codebook."""
+    return np.array([[[pq_coef(m, j, d) for d in range(PQ_SUBDIM)]
+                      for j in range(PQ_K)] for m in range(PQ_M)])
+
+
+def _pq_scores_np(X: np.ndarray, C: np.ndarray, H: np.ndarray,
+                  m: int) -> np.ndarray:
+    """(n, PQ_K) subspace-m scores with the d-ascending fold order the
+    SQL twin uses (bit-identical float64)."""
+    Xm = X[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+    out = np.empty((X.shape[0], PQ_K))
+    for j in range(PQ_K):
+        acc = C[m, j, 0] * Xm[:, 0]
+        for d in range(1, PQ_SUBDIM):   # fold order == _pq_score_sql
+            acc = acc + C[m, j, d] * Xm[:, d]
+        out[:, j] = acc - H[m, j]
+    return out
+
+
+def pq_encode_udf():
+    """array<int> of PQ_M codes per vector (one Arrow crossing);
+    argmax is first-max-wins, matching the oracle's
+    ``ORDER BY score DESC, j ASC``."""
+    C = pq_codebook()
+    H = np.array([[_pq_halfnorm(m, j) for j in range(PQ_K)]
+                  for m in range(PQ_M)])
+
+    @pandas_udf("array<int>")
+    def _udf(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        codes = np.empty((X.shape[0], PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            codes[:, m] = _pq_scores_np(X, C, H, m).argmax(axis=1)
+        return pd.Series([r.tolist() for r in codes])
+
+    return _udf
+
+
+def pq_lut_udf():
+    """array<double> of PQ_M*PQ_K ADC table entries per query vector
+    (entry m*PQ_K + j = subspace-m score against centroid j)."""
+    C = pq_codebook()
+    H = np.array([[_pq_halfnorm(m, j) for j in range(PQ_K)]
+                  for m in range(PQ_M)])
+
+    @pandas_udf("array<double>")
+    def _udf(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        lut = np.empty((X.shape[0], PQ_M * PQ_K))
+        for m in range(PQ_M):
+            lut[:, m * PQ_K:(m + 1) * PQ_K] = _pq_scores_np(X, C, H, m)
+        return pd.Series([r.tolist() for r in lut])
+
+    return _udf
+
+
+def adc_score_col(lut: str = "q_lut", codes: str = "codes") -> Column:
+    """Σ_m lut[m*PQ_K + codes[m]] as a codegen left fold in m order
+    (order-fixed so the float64 sum is bit-identical to the oracle's
+    list_reduce — a groupBy SUM would be partition-order dependent)."""
+    return F.expr(
+        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
+        f"(acc, m) -> acc + element_at({lut}, "
+        f"m * {PQ_K} + element_at({codes}, m + 1) + 1))")
+
+
+def _pq_coef_sql(m: str, j: str, d1: str) -> str:
+    """Closed-form codebook component; ``d1`` is 1-based (SQL
+    generate_series), mirroring pq_coef's op order exactly."""
+    idx = f"(({m} * {PQ_K} + {j}) * {PQ_SUBDIM} + ({d1}) + 6)"
+    return (f"((cast(({idx} * 2654435761) % 1000000 as double) "
+            f"/ 1000000.0e0 - 0.5e0) / 2.0e0)")
+
+
+def _pq_score_sql(vec: str, m: str, j: str) -> str:
+    """Subspace score ``x_m·c_{m,j} − ‖c_{m,j}‖²/2`` as two d-ascending
+    list_reduce folds (bit-identical to :func:`_pq_scores_np`)."""
+    coef = _pq_coef_sql(m, j, "__d")
+    dot = (f"list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}), "
+           f"__d -> {coef} * cast(({vec})[({m}) * {PQ_SUBDIM} + __d] "
+           f"as double)), (__x, __y) -> __x + __y)")
+    half = (f"list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}), "
+            f"__d -> {coef} * {coef}), (__x, __y) -> __x + __y) / 2.0e0")
+    return f"({dot} - {half})"
+
+
+def pq_codes_sql(table: str = "embeddings",
+                 id_col: str = "vec_id") -> str:
+    """(id, codes LIST) subquery: long-form grid (id × m × j), argmax
+    via row_number, list() re-assembled in m order."""
+    score = _pq_score_sql("embedding", "g.m", "g.j")
+    return f"""
+(SELECT {id_col}, list(code ORDER BY m) AS codes FROM (
+   SELECT {id_col}, m, j AS code,
+          row_number() OVER (PARTITION BY {id_col}, m
+                             ORDER BY score DESC, j ASC) AS rk
+   FROM (SELECT t.{id_col}, g.m, g.j, {score} AS score
+         FROM {table} t
+         CROSS JOIN (SELECT m.m, j.j
+                     FROM (SELECT unnest(range(0, {PQ_M})) AS m) m,
+                          (SELECT unnest(range(0, {PQ_K})) AS j) j) g) sc
+  ) best WHERE rk = 1 GROUP BY {id_col})
+"""
+
+
+def pq_lut_sql(query_filter: str = "vec_id % 50 = 0") -> str:
+    """(q_id, q_lut LIST of PQ_M*PQ_K doubles) subquery."""
+    score = _pq_score_sql("embedding", f"(__i // {PQ_K})", f"(__i % {PQ_K})")
+    return f"""
+(SELECT vec_id AS q_id,
+        list_transform(generate_series(0, {PQ_M * PQ_K - 1}),
+                       __i -> {score}) AS q_lut
+ FROM embeddings WHERE {query_filter})
+"""
+
+
+ADC_FOLD_SQL = (
+    f"list_reduce(list_transform(generate_series(1, {PQ_M}), "
+    f"__m -> (q.q_lut)[(__m - 1) * {PQ_K} + (c.codes)[__m] + 1]), "
+    f"(__x, __y) -> __x + __y)")
+
+
+def pq_codes_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): the encoded corpus, one row per subspace."""
+    return (emb.withColumn("codes", pq_encode_udf()(F.col("embedding")))
+            .select("vec_id", F.posexplode("codes").alias("m", "code")))
+
+
+def pq_codes_rows_sql() -> str:
+    return f"""
+SELECT vec_id, cast(generate_subscripts(codes, 1) - 1 as integer) AS m,
+       unnest(codes) AS code
+FROM {pq_codes_sql()} pc
+"""
+
+
+def pq_adc_topk(emb: DataFrame, k: int = 5,
+                query_filter: str = "vec_id % 50 = 0") -> DataFrame:
+    """Compressed-domain full scan (declared BNLJ baseline): corpus
+    codes × broadcast query LUTs, 8-term ADC fold per pair."""
+    c = (emb.withColumn("codes", pq_encode_udf()(F.col("embedding")))
+         .select("vec_id", "codes"))
+    q = (emb.filter(query_filter)
+         .select(F.col("vec_id").alias("q_id"),
+                 pq_lut_udf()(F.col("embedding")).alias("q_lut")))
+    cand = (c.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn("adc", adc_score_col()))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "rk",
+                    F.round("adc", 9).alias("adc_score")))
+
+
+def pq_adc_topk_sql(k: int = 5,
+                    query_filter: str = "vec_id % 50 = 0") -> str:
+    return f"""
+SELECT q_id, vec_id, rk, round(adc, 9) AS adc_score FROM (
+  SELECT q.q_id, c.vec_id, {ADC_FOLD_SQL} AS adc,
+         row_number() OVER (PARTITION BY q.q_id
+            ORDER BY {ADC_FOLD_SQL} DESC, c.vec_id ASC) AS rk
+  FROM {pq_codes_sql()} c, {pq_lut_sql(query_filter)} q
+  WHERE c.vec_id <> q.q_id) z
+WHERE rk <= {k}
+"""
+
+
+def ivfpq_topk(emb: DataFrame, k: int = 5, nprobe: int = 3,
+               query_filter: str = "vec_id % 50 = 0") -> DataFrame:
+    """IVF-PQ: candidates from the coarse-quantizer cell equi-join
+    (nprobe cells per query, probe explode on the broadcast query side
+    only), scored by the ADC fold over 8-byte codes — the corpus path
+    reads no raw vectors after ingest."""
+    corpus = (emb
+              .withColumn("cluster", ivf_cluster_udf()(F.col("embedding")))
+              .withColumn("codes", pq_encode_udf()(F.col("embedding")))
+              .select("vec_id", "cluster", "codes"))
+    q = (emb.filter(query_filter)
+         .withColumn("probes", ivf_probe_udf(nprobe)(F.col("embedding")))
+         .withColumn("q_lut", pq_lut_udf()(F.col("embedding")))
+         .select(F.col("vec_id").alias("q_id"), "q_lut",
+                 F.explode("probes").alias("q_cluster")))
+    cand = (corpus.join(F.broadcast(q),
+                        (F.col("cluster") == F.col("q_cluster"))
+                        & (F.col("vec_id") != F.col("q_id")))
+            .withColumn("adc", adc_score_col()))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "rk",
+                    F.round("adc", 9).alias("adc_score")))
+
+
+def ivfpq_topk_sql(k: int = 5, nprobe: int = 3,
+                   query_filter: str = "vec_id % 50 = 0") -> str:
+    return f"""
+SELECT q_id, vec_id, rk, round(adc, 9) AS adc_score FROM (
+  SELECT q.q_id, c.vec_id, {ADC_FOLD_SQL} AS adc,
+         row_number() OVER (PARTITION BY q.q_id
+            ORDER BY {ADC_FOLD_SQL} DESC, c.vec_id ASC) AS rk
+  FROM (SELECT a.vec_id, a.cluster, pc.codes
+        FROM {ivf_assign_sql("embeddings")} a
+        JOIN {pq_codes_sql()} pc ON a.vec_id = pc.vec_id) c
+  JOIN (SELECT p.q_id, p.q_cluster, l.q_lut
+        FROM {_ivf_probe_sql(query_filter, nprobe)} p
+        JOIN {pq_lut_sql(query_filter)} l ON p.q_id = l.q_id) q
+    ON c.cluster = q.q_cluster AND c.vec_id <> q.q_id) z
+WHERE rk <= {k}
+"""
+
+
+def pq_recall_report(emb: DataFrame, k: int = 5) -> DataFrame:
+    """recall@k of the two PQ arms vs exact brute-force cosine top-k
+    (same shape as the IVF/LSH recall diagnostics)."""
+    exact = brute_force_topk(emb, k=k).select("q_id", "vec_id")
+    nq = exact.select("q_id").distinct().count()  # tiny scalar
+    parts = []
+    for mname, df in (("pq_adc", pq_adc_topk(emb, k=k)),
+                      ("ivfpq", ivfpq_topk(emb, k=k, nprobe=3)),
+                      ("ivfpq_rerank",
+                       ivfpq_rerank_topk(emb, k=k, nprobe=3))):
+        parts.append(
+            df.select("q_id", "vec_id")
+            .join(exact, ["q_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.lit(mname).alias("method"), "n_hits",
+                    F.round(F.col("n_hits") / F.lit(float(k * nq)), 9)
+                    .alias("recall_at_k")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_recall_report_sql(k: int = 5,
+                         query_filter: str = "vec_id % 50 = 0") -> str:
+    exact = brute_force_topk_sql(k=k)
+    nq = f"(SELECT count(*) FROM embeddings WHERE {query_filter})"
+    arms = []
+    for mname, arm in (("pq_adc", pq_adc_topk_sql(k=k)),
+                       ("ivfpq", ivfpq_topk_sql(k=k, nprobe=3)),
+                       ("ivfpq_rerank",
+                        ivfpq_rerank_topk_sql(k=k, nprobe=3))):
+        arms.append(f"""
+SELECT '{mname}' AS method, count(*) AS n_hits,
+       round(count(*) / ({k}.0e0 * {nq}), 9) AS recall_at_k
+FROM ({arm}) a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+""")
+    return f"WITH exact AS ({exact})\n" + " UNION ALL ".join(arms)
+
+
+def ivfpq_rerank_topk(emb: DataFrame, k: int = 5, nprobe: int = 3,
+                      shortlist: int = 50,
+                      query_filter: str = "vec_id % 50 = 0") -> DataFrame:
+    """IVF-PQ with exact refine (the production pattern): the ADC fold
+    ranks candidates inside the probed cells, the per-query top-
+    ``shortlist`` fetch their raw vectors (Q×shortlist rows — a
+    broadcast-sized refine read at any corpus scale), and exact cosine
+    reranks to top-k.  Recovers the quantization error the codes
+    introduce; the only loss left is coarse-cell miss (the
+    ivf_nprobe bound)."""
+    corpus = (emb
+              .withColumn("cluster", ivf_cluster_udf()(F.col("embedding")))
+              .withColumn("codes", pq_encode_udf()(F.col("embedding")))
+              .select("vec_id", "cluster", "codes"))
+    q = (emb.filter(query_filter)
+         .withColumn("probes", ivf_probe_udf(nprobe)(F.col("embedding")))
+         .withColumn("q_lut", pq_lut_udf()(F.col("embedding")))
+         .select(F.col("vec_id").alias("q_id"), "q_lut",
+                 F.explode("probes").alias("q_cluster")))
+    cand = (corpus.join(F.broadcast(q),
+                        (F.col("cluster") == F.col("q_cluster"))
+                        & (F.col("vec_id") != F.col("q_id")))
+            .withColumn("adc", adc_score_col()))
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
+                                               F.col("vec_id").asc())
+    short = (cand.withColumn("ark", F.row_number().over(w_adc))
+             .filter(F.col("ark") <= shortlist)
+             .select("q_id", "vec_id"))
+    # refine: raw vectors only for the Q×shortlist survivors
+    raw = emb.select("vec_id", "embedding",
+                     norm2_col("embedding").alias("n2"))
+    qraw = (emb.filter(query_filter)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_emb"),
+                    norm2_col("embedding").alias("q_n2")))
+    rer = (short.join(raw, "vec_id").join(F.broadcast(qraw), "q_id")
+           .withColumn("cos", dot_col("q_emb", "embedding")
+                       / F.sqrt(F.col("q_n2") * F.col("n2"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (rer.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "rk",
+                    F.round("cos", 9).alias("cos_sim")))
+
+
+def ivfpq_rerank_topk_sql(k: int = 5, nprobe: int = 3, shortlist: int = 50,
+                          query_filter: str = "vec_id % 50 = 0") -> str:
+    dot = dot_sql("qe.embedding", "e.embedding")
+    n1 = norm2_sql("qe.embedding")
+    n2 = norm2_sql("e.embedding")
+    return f"""
+SELECT q_id, vec_id, rk, round(cos, 9) AS cos_sim FROM (
+  SELECT s.q_id, s.vec_id,
+         {dot} / sqrt({n1} * {n2}) AS cos,
+         row_number() OVER (PARTITION BY s.q_id
+            ORDER BY {dot} / sqrt({n1} * {n2}) DESC, s.vec_id ASC) AS rk
+  FROM (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, c.vec_id,
+                 row_number() OVER (PARTITION BY q.q_id
+                    ORDER BY {ADC_FOLD_SQL} DESC, c.vec_id ASC) AS ark
+          FROM (SELECT a.vec_id, a.cluster, pc.codes
+                FROM {ivf_assign_sql("embeddings")} a
+                JOIN {pq_codes_sql()} pc ON a.vec_id = pc.vec_id) c
+          JOIN (SELECT p.q_id, p.q_cluster, l.q_lut
+                FROM {_ivf_probe_sql(query_filter, nprobe)} p
+                JOIN {pq_lut_sql(query_filter)} l ON p.q_id = l.q_id) q
+            ON c.cluster = q.q_cluster AND c.vec_id <> q.q_id) zz
+        WHERE ark <= {shortlist}) s
+  JOIN embeddings e ON s.vec_id = e.vec_id
+  JOIN embeddings qe ON s.q_id = qe.vec_id) z
+WHERE rk <= {k}
+"""

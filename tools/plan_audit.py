@@ -104,8 +104,14 @@ def main() -> None:
     #   declared baseline (recall@k is defined against exact top-k);
     #   the three approximate arms it grades are equi-join-only and
     #   remain individually swept via their own queries.
+    #   ann_pq_adc_topk — the declared compressed-domain full scan
+    #   (the PQ point is making the scan 8 adds over 8-byte codes);
+    #   the equi-join scale paths are ann_ivfpq_topk / _rerank_topk,
+    #   which ARE swept.  ann_pq_recall_report grades the PQ arms
+    #   against the exact baseline, so it inherits both exceptions.
     BNLJ_OK = {"ann_cosine_topk", "ann_recall_report",
-               "ann_recall_report_clustered"}
+               "ann_recall_report_clustered", "ann_pq_adc_topk",
+               "ann_pq_recall_report"}
     # Building these queries EXECUTES them (streaming runs to
     # completion, checkpoint writes + crash-injects): the DataFrame
     # they return is a trivial sink/manifest scan, so sweeping them

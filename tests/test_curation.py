@@ -391,3 +391,48 @@ def test_dup_ngram_spans_merges_overlaps(spark):
     # dup gram starts 1,2 merge into one island covering [1, 2+5-1]
     assert first.span_start == 1 and first.span_end == 6
     assert second.span_start > first.span_end
+
+
+# ---- hashed linear quality classifier ------------------------------------
+
+def _qc_reference(rows):
+    out = []
+    for i, t in rows:
+        tk = _toks(t)
+        if not tk:
+            continue
+        s = 0.0
+        for w in tk:
+            b = _hash60(w) % cu.QC_BUCKETS
+            s = s + ((((b + 13) * 2654435761) % 1000000) / 1000000.0 - 0.5)
+        logit = s / float(len(tk))
+        out.append((i, len(tk), round(logit, 9),
+                    1 if logit > cu.QC_THRESHOLD else 0))
+    return sorted(out)
+
+
+def test_quality_classifier_matches_reference(spark):
+    rows = [(i, " ".join(f"tok{(i * 11 + j) % 97}" for j in range(4 + i % 9)))
+            for i in range(150)]
+    rows += [(900, ""), (901, "   ")]  # unscoreable docs dropped
+    got = cu.quality_classifier(_docs_df(spark, rows)).toPandas()
+    got_t = sorted(map(tuple, got.to_numpy().tolist()))
+    ref = _qc_reference(rows)
+    assert got_t == ref
+    keeps = {k for _, _, _, k in ref}
+    assert keeps == {0, 1}  # fixture exercises both sides of the gate
+
+
+def test_quality_classifier_is_permutation_invariant_per_doc(spark):
+    # same multiset of tokens, same order -> identical logit across
+    # partitionings (the fold is per-row, so parallelism can't change
+    # the summation order)
+    rows = [(i, "alpha beta gamma delta " * 5) for i in range(40)]
+    one = cu.quality_classifier(
+        _docs_df(spark, rows).repartition(1)).toPandas()
+    many = cu.quality_classifier(
+        _docs_df(spark, rows).repartition(16)).toPandas()
+    a = sorted(map(tuple, one.to_numpy().tolist()))
+    b = sorted(map(tuple, many.to_numpy().tolist()))
+    assert a == b
+    assert len({r[2] for r in a}) == 1  # identical docs, identical logit

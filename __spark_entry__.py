@@ -247,6 +247,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _PAIRS_MEMO: dict = {}
 # _shared_simhash inside queries() (ADVICE r4: same leak class)
 _SIMHASH_MEMO: dict = {}
+# clustered ANN fixture (r5): persisted so CollapseProject cannot
+# inline the 64-element fixture array into every unrolled dot-product
+# term — uncached, the recall reports' generated methods blow the JVM
+# 64 KB limit and the whole stage falls back to interpreted eval
+# (observed: 5 codegen failures + 29 s for the clustered report in the
+# r5 sweep; the InMemoryRelation barrier removes both)
+_CLUSTERED_MEMO: dict = {}
 
 
 def _memo_shared(memo: dict, spark, sf_dir, build):
@@ -284,6 +291,7 @@ def clear_pair_memos() -> None:
     memo)."""
     _evict_memo(_PAIRS_MEMO)
     _evict_memo(_SIMHASH_MEMO)
+    _evict_memo(_CLUSTERED_MEMO)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1128,14 +1136,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _recall_report(spark.table("embeddings"))
     q["ann_recall_report"] = q_ann_recall
 
+    def _shared_clustered(spark, sf_dir):
+        def build(cache):
+            df = sim.clustered_embeddings(
+                spark.table("embeddings")).persist()
+            cache.append(df)
+            return df
+        return _memo_shared(_CLUSTERED_MEMO, spark, sf_dir, build)
+
     def q_ann_recall_clustered(spark, sf_dir):
         # same diagnostic over the deterministic 16-cluster fixture —
         # the case a working bucketed-ANN must win (pytest asserts
         # beats-chance/beats-uniform/nprobe-monotone; the oracle
         # asserts the exact numbers)
         _register(spark, sf_dir)
-        return _recall_report(
-            sim.clustered_embeddings(spark.table("embeddings")))
+        return _recall_report(_shared_clustered(spark, sf_dir))
     q["ann_recall_report_clustered"] = q_ann_recall_clustered
 
     def q_pq_recall(spark, sf_dir):
@@ -1145,8 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recovers to within 0.02 of the nprobe cell bound — the
         # monotone story pytest asserts and the oracle pins exactly
         _register(spark, sf_dir)
-        return sim.pq_recall_report(
-            sim.clustered_embeddings(spark.table("embeddings")), k=5)
+        return sim.pq_recall_report(_shared_clustered(spark, sf_dir), k=5)
     q["ann_pq_recall_report"] = q_pq_recall
 
     def q_stream_flagship(spark, sf_dir):

@@ -101,6 +101,29 @@ def lsh_bucket_col(a: str) -> Column:
     return expr
 
 
+def lsh_bucket_fold_col(a: str) -> Column:
+    """Same bucket id as :func:`lsh_bucket_col`, built as nested
+    HOF folds instead of 512 unrolled terms.  Used on the join paths
+    (lsh_topk and the recall reports' LSH arm): fused with the join +
+    rerank stage, the unrolled form pushes the generated doConsume
+    past the JVM's 64 KB method limit and the WHOLE stage falls back
+    to interpreted eval (observed in the r5 sweep); the fold form is a
+    small interpreted island inside an otherwise codegen stage.
+    Bit-equivalent: the projection fold is the same d-ascending
+    left-associated sum with the same closed-form coefficients
+    (plane_coef), and the sign test is unaffected by the fold's
+    0.0+x seed."""
+    coef = (f"(cast(((p * {DIM} + d) * 2654435761) % 1000000 as double) "
+            f"/ 1000000.0e0 - 0.5e0)")
+    proj = (f"aggregate(sequence(1, {DIM}), cast(0.0 as double), "
+            f"(acc2, d) -> acc2 + {coef} "
+            f"* cast(element_at({a}, d) as double))")
+    return F.expr(
+        f"aggregate(sequence(0, {N_PLANES - 1}), 0, "
+        f"(acc, p) -> acc + CASE WHEN {proj} > 0.0e0 "
+        f"THEN shiftleft(1, p) ELSE 0 END)")
+
+
 def lsh_bucket_sql(a: str) -> str:
     terms = " + ".join(
         f"(case when {plane_proj_sql(a, p)} > 0.0e0 then {1 << p} else 0 end)"
@@ -173,7 +196,7 @@ def lsh_topk(emb: DataFrame, k: int = 5,
     bucket id (vs the brute-force cross join); recall is partial by
     design (classic LSH trade-off), and the oracle replicates the same
     bucket rule so results still compare exactly."""
-    b = emb.withColumn("bucket", lsh_bucket_col("embedding")) \
+    b = emb.withColumn("bucket", lsh_bucket_fold_col("embedding")) \
            .withColumn("n2", norm2_col("embedding"))
     q = b.filter(query_filter).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),

@@ -807,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["line_dedup_reassemble"] = lambda s, d: cu.line_dedup(_docs(s, d))
     q["quality_classifier"] = \
         lambda s, d: cu.quality_classifier(_docs(s, d))
+    q["minhash_incremental_dedup"] = \
+        lambda s, d: td.minhash_incremental_dedup(_docs(s, d))
 
     def q_ann(spark, sf_dir):
         _register(spark, sf_dir)
@@ -1563,6 +1565,7 @@ GROUP BY lang
     o["token_budget_select"] = cu.token_budget_select_sql()
     o["line_dedup_reassemble"] = cu.line_dedup_sql()
     o["quality_classifier"] = cu.quality_classifier_sql()
+    o["minhash_incremental_dedup"] = td.minhash_incremental_dedup_sql()
     o["minhash_rerank_exact"] = td.minhash_rerank_exact_sql()
     o["ann_cosine_topk"] = sim.brute_force_topk_sql(k=5)
     o["ann_lsh_buckets"] = sim.lsh_buckets_sql()

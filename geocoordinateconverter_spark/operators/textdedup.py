@@ -1271,3 +1271,149 @@ SELECT drop_doc_id, count(*) AS n_better FROM (
     ON p.doc_b = mb.doc_id) q
 GROUP BY drop_doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental (append-only) MinHash dedup — r5
+# ---------------------------------------------------------------------------
+# Production corpora are append-only: the historical index is already
+# deduplicated, and each incoming batch must be deduped (a) against
+# that index and (b) within itself — WITHOUT ever re-pairing
+# old-vs-old.  The fixture splits `documents` by doc_id parity (even =
+# the historical index, odd = the incoming batch).
+#
+# Scale shape: the old side is exactly the banded signature table a
+# production pipeline stores as its dedup index (band, band_key,
+# sigs), partitioned/bucketed by band_key; the new batch builds its
+# bands map-only (the r4 signature kernel) and is orders of magnitude
+# smaller than the index, so the new-vs-old candidate join BROADCASTS
+# the batch against the streamed index — at 10¹² indexed docs the
+# incremental cost per batch is one index scan + two small aggs, and
+# the O(index²) work of a full re-dedup is never done.  Band-bucket
+# caps are per side: the index's caps are a stored property of the
+# index, the batch caps itself.
+
+def _banded_sig_frame(docs: DataFrame,
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_id, sigs, band, band_key) with degenerate buckets dropped —
+    the shared band-table shape of minhash_pairs, reusable per side."""
+    sig_arr = minhash_sig_array(docs)
+    band_ix = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
+    band_fmt = {
+        b: F.md5(F.concat_ws(",", *[
+            F.format_string("%02d:%d", F.lit(p),
+                            F.element_at("sigs", p + 1))
+            for p in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]))
+        for b in range(N_BANDS)}
+    band_key = F.lit(None).cast("string")
+    for b in range(N_BANDS - 1, -1, -1):
+        band_key = F.when(F.col("band") == b, band_fmt[b]) \
+            .otherwise(band_key)
+    bands = (sig_arr.select("doc_id", "sigs", band_ix)
+             .withColumn("band_key", band_key))
+    wb = Window.partitionBy("band", "band_key")
+    return (bands.withColumn("bsize", F.count("*").over(wb))
+            .filter(F.col("bsize") <= max_bucket).drop("bsize"))
+
+
+def minhash_incremental_dedup(docs: DataFrame,
+                              est_threshold: float = 0.7,
+                              cache: list | None = None) -> DataFrame:
+    """(doc_id, n_old_dups, n_prior_new_dups, keep) for every NEW doc
+    (doc_id odd): how many indexed (old/even) near-twins and how many
+    earlier-arrival (smaller-id new) near-twins it has at
+    ``est_jaccard >= est_threshold``; keep = 1 iff both are zero.
+
+    ``cache``: caller-owned persist contract (see minhash_pairs) — the
+    new-batch band table feeds both candidate joins."""
+    old_b = _banded_sig_frame(docs.filter(F.col("doc_id") % 2 == 0))
+    new_b = _banded_sig_frame(docs.filter(F.col("doc_id") % 2 == 1))
+    if cache is not None:
+        new_b = new_b.persist()
+        cache.append(new_b)
+    eq = F.size(F.filter(
+        F.zip_with(F.col("a.sigs"), F.col("b.sigs"),
+                   lambda x, y: x == y),
+        lambda v: v))
+    est = (eq / F.lit(float(K_MINHASH))).alias("est")
+    old_pairs = (old_b.alias("b")
+                 .join(F.broadcast(new_b.alias("a")),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.band_key") == F.col("b.band_key")))
+                 .select(F.col("a.doc_id").alias("doc_id"),
+                         F.col("b.doc_id").alias("partner"), est)
+                 .distinct()
+                 .filter(F.col("est") >= est_threshold))
+    new_pairs = (new_b.alias("a")
+                 .join(new_b.alias("b"),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.band_key") == F.col("b.band_key"))
+                       & (F.col("b.doc_id") < F.col("a.doc_id")))
+                 .select(F.col("a.doc_id").alias("doc_id"),
+                         F.col("b.doc_id").alias("partner"), est)
+                 .distinct()
+                 .filter(F.col("est") >= est_threshold))
+    o = old_pairs.groupBy("doc_id").agg(
+        F.countDistinct("partner").alias("n_old_dups"))
+    n = new_pairs.groupBy("doc_id").agg(
+        F.countDistinct("partner").alias("n_prior_new_dups"))
+    base = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    out = (base.join(o, "doc_id", "left").join(n, "doc_id", "left")
+           .na.fill(0, ["n_old_dups", "n_prior_new_dups"]))
+    return out.select(
+        "doc_id", "n_old_dups", "n_prior_new_dups",
+        F.when((F.col("n_old_dups") == 0)
+               & (F.col("n_prior_new_dups") == 0), 1).otherwise(0)
+        .cast("int").alias("keep"))
+
+
+def _bands_capped_where_sql(pred: str) -> str:
+    """Per-side capped band table: ``pred`` filters docs BEFORE the
+    bucket-size window (caps are a per-side property)."""
+    return f"""
+(SELECT doc_id, band, band_key FROM (
+   SELECT doc_id, band, band_key,
+          count(*) OVER (PARTITION BY band, band_key) AS bsize
+   FROM {MINHASH_BANDS_SQL} qb WHERE {pred}) qc
+ WHERE bsize <= {MAX_BUCKET})
+"""
+
+
+def minhash_incremental_dedup_sql(est_threshold: float = 0.7) -> str:
+    def scored(pairs: str) -> str:
+        return f"""
+(SELECT p.doc_id, p.partner,
+        sum(case when sa.sig = sb.sig then 1 else 0 end)
+          / {float(K_MINHASH)!r}e0 AS est
+ FROM {pairs} p
+ JOIN {MINHASH_SIG_SQL} sa ON p.doc_id = sa.doc_id
+ JOIN {MINHASH_SIG_SQL} sb ON p.partner = sb.doc_id AND sa.perm = sb.perm
+ GROUP BY p.doc_id, p.partner)
+"""
+    op = """(SELECT DISTINCT a.doc_id, b.doc_id AS partner
+       FROM new_b a JOIN old_b b
+         ON a.band = b.band AND a.band_key = b.band_key)"""
+    np_ = """(SELECT DISTINCT a.doc_id, b.doc_id AS partner
+       FROM new_b a JOIN new_b b
+         ON a.band = b.band AND a.band_key = b.band_key
+        AND b.doc_id < a.doc_id)"""
+    return f"""
+WITH old_b AS (SELECT * FROM {_bands_capped_where_sql("doc_id % 2 = 0")} ob),
+new_b AS (SELECT * FROM {_bands_capped_where_sql("doc_id % 2 = 1")} nb),
+o_cnt AS (SELECT doc_id, count(*) AS n_old_dups
+          FROM {scored(op)} q WHERE est >= {est_threshold!r}e0
+          GROUP BY doc_id),
+n_cnt AS (SELECT doc_id, count(*) AS n_prior_new_dups
+          FROM {scored(np_)} q WHERE est >= {est_threshold!r}e0
+          GROUP BY doc_id)
+SELECT d.doc_id,
+       cast(coalesce(o.n_old_dups, 0) as bigint) AS n_old_dups,
+       cast(coalesce(n.n_prior_new_dups, 0) as bigint)
+         AS n_prior_new_dups,
+       CASE WHEN coalesce(o.n_old_dups, 0) = 0
+             AND coalesce(n.n_prior_new_dups, 0) = 0
+            THEN 1 ELSE 0 END AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN o_cnt o ON d.doc_id = o.doc_id
+LEFT JOIN n_cnt n ON d.doc_id = n.doc_id
+"""

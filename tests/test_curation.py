@@ -436,3 +436,43 @@ def test_quality_classifier_is_permutation_invariant_per_doc(spark):
     b = sorted(map(tuple, many.to_numpy().tolist()))
     assert a == b
     assert len({r[2] for r in a}) == 1  # identical docs, identical logit
+
+
+# ---- incremental (append-only) minhash dedup -----------------------------
+
+def test_minhash_incremental_dedup_semantics(spark):
+    from geocoordinateconverter_spark.operators import textdedup as td
+    uniq = lambda i: " ".join(f"w{i}t{j}" for j in range(30))  # noqa: E731
+    rows = [
+        (0, uniq(0)), (2, uniq(2)), (4, uniq(4)),   # old index
+        (1, uniq(0)),     # new, duplicates OLD doc 0 -> dropped (old hit)
+        (3, uniq(99)),    # new, unique -> kept
+        (5, uniq(77)),    # new, first arrival of text 77 -> kept
+        (7, uniq(77)),    # new, duplicates EARLIER new doc 5 -> dropped
+        (9, uniq(2)),     # new, duplicates OLD doc 2 -> dropped
+    ]
+    got = {r.doc_id: r for r in
+           td.minhash_incremental_dedup(_docs_df(spark, rows)).collect()}
+    assert set(got) == {1, 3, 5, 7, 9}          # only the new batch
+    assert got[1].keep == 0 and got[1].n_old_dups >= 1
+    assert got[3].keep == 1 and (got[3].n_old_dups,
+                                 got[3].n_prior_new_dups) == (0, 0)
+    assert got[5].keep == 1                      # first arrival wins
+    assert got[7].keep == 0 and got[7].n_prior_new_dups >= 1
+    assert got[7].n_old_dups == 0                # its twin is new, not old
+    assert got[9].keep == 0 and got[9].n_old_dups >= 1
+
+
+def test_minhash_incremental_never_pairs_old_vs_old(spark):
+    # two identical OLD docs: the incremental op must not report or
+    # depend on their mutual duplication (the index is already deduped
+    # upstream; re-pairing it is exactly the O(index^2) work the op
+    # exists to avoid)
+    from geocoordinateconverter_spark.operators import textdedup as td
+    t = " ".join(f"q{j}" for j in range(30))
+    rows = [(0, t), (2, t), (1, "only new doc " + " ".join(
+        f"z{j}" for j in range(27)))]
+    got = {r.doc_id: r for r in
+           td.minhash_incremental_dedup(_docs_df(spark, rows)).collect()}
+    assert set(got) == {1}
+    assert got[1].keep == 1

@@ -985,6 +985,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("value"), 6).alias("sum_v")))
     q["range_join_bands"] = q_range
 
+    def q_asof(spark, sf_dir):
+        # as-of join (latest view at or before each click), in the
+        # no-join union-window form — ONE shuffle on user_id, no
+        # BNLJ/candidate blowup at any scale (operators/rangejoin.py)
+        _register(spark, sf_dir)
+        from geocoordinateconverter_spark.operators import rangejoin as rj
+        return rj.asof_clicks_views(spark.table("events"))
+    q["asof_join_clicks_views"] = q_asof
+
     def q_sessionize(spark, sf_dir):
         # sessionization: new session when the gap to the previous event
         # of the same user exceeds 30 min — lag + conditional cumsum,
@@ -1566,6 +1575,8 @@ GROUP BY lang
     o["line_dedup_reassemble"] = cu.line_dedup_sql()
     o["quality_classifier"] = cu.quality_classifier_sql()
     o["minhash_incremental_dedup"] = td.minhash_incremental_dedup_sql()
+    from geocoordinateconverter_spark.operators import rangejoin as _rj
+    o["asof_join_clicks_views"] = _rj.asof_clicks_views_sql()
     o["minhash_rerank_exact"] = td.minhash_rerank_exact_sql()
     o["ann_cosine_topk"] = sim.brute_force_topk_sql(k=5)
     o["ann_lsh_buckets"] = sim.lsh_buckets_sql()

@@ -101,3 +101,43 @@ def test_decode_media_png_roundtrip_with_pil():
     img.save(buf, format="PNG")
     arr = mm.decode_media(buf.getvalue(), "png")
     assert arr.shape == (2, 2)
+
+
+# ---- as-of join (union-window form) --------------------------------------
+
+def test_asof_join_semantics_and_ties(spark):
+    from datetime import datetime
+    from geocoordinateconverter_spark.operators import rangejoin as rj
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # (event_id, ts, user_id, type)
+        (1, T(10), 1, "view"),
+        (2, T(18), 1, "click"),    # -> view 1, lag 8s
+        (3, T(20), 1, "view"),     # equal-ts view counts (<=)
+        (4, T(20), 1, "click"),    # -> view 3 (equal ts, views first)
+        (5, T(30), 1, "view"),
+        (6, T(30), 1, "view"),     # duplicate-ts views: higher id wins
+        (7, T(40), 1, "click"),    # -> view 6
+        (8, T(5), 2, "click"),     # no prior view -> NULLs
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, k, 0.0, "{}") for i, t, u, k in rows],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string")
+    got = {r.event_id: r for r in rj.asof_clicks_views(df).collect()}
+    assert set(got) == {2, 4, 7, 8}
+    assert got[2].asof_right_id == 1 and got[2].lag_us == 8_000_000
+    assert got[4].asof_right_id == 3 and got[4].lag_us == 0
+    assert got[7].asof_right_id == 6 and got[7].lag_us == 10_000_000
+    assert got[8].asof_right_id is None and got[8].lag_us is None
+
+
+def test_asof_join_plan_has_no_join(spark):
+    # the scale claim: the as-of is a union + window, not a join — the
+    # physical plan must contain a single Exchange (user_id) and zero
+    # join operators of any kind
+    from geocoordinateconverter_spark.operators import rangejoin as rj
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = rj.asof_clicks_views(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert p.count("Exchange") == 1

@@ -1054,6 +1054,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tiles_op.salted_tile_agg(pts, key="okey", res=7, n_salt=8)
     q["salted_tile_agg_exact"] = q_salted
 
+    def q_zorder(spark, sf_dir):
+        # Z-order layout assignment (the OPTIMIZE ZORDER BY primitive):
+        # Morton key + deterministic equi-depth file buckets.  The
+        # production write path (zorder_write: repartitionByRange +
+        # sortWithinPartitions) is pytest-verified via parquet footer
+        # min/max tightness; this gate entry pins the key arithmetic
+        # and bucket assignment exactly.
+        from geocoordinateconverter_spark.operators import layout as lo
+        _register(spark, sf_dir)
+        w = sg.wgs_points_sql("k")
+        pts = spark.sql(
+            f"SELECT k, {w['fi']} AS fi, {w['la']} AS la "
+            f"FROM (SELECT {LKEY} AS k FROM lineitem WHERE "
+            f"l_orderkey % 5 = 0) q_k")
+        return lo.zorder_keys(pts, key="k", n_files=8)
+    q["zorder_layout_keys"] = q_zorder
+
     def q_ckpt_gate(spark, sf_dir):
         # crash-injected checkpointed write + resume, then read the
         # committed table back — the resumability invariant (recovered
@@ -1577,6 +1594,12 @@ GROUP BY lang
     o["minhash_incremental_dedup"] = td.minhash_incremental_dedup_sql()
     from geocoordinateconverter_spark.operators import rangejoin as _rj
     o["asof_join_clicks_views"] = _rj.asof_clicks_views_sql()
+    from geocoordinateconverter_spark.operators import layout as _lo
+    _wz = sg.wgs_points_sql("k")
+    o["zorder_layout_keys"] = _lo.zorder_keys_sql(
+        f"(SELECT k, {_wz['fi']} AS fi, {_wz['la']} AS la "
+        f"FROM (SELECT {LKEY} AS k FROM lineitem WHERE "
+        f"l_orderkey % 5 = 0) q_k)")
     o["minhash_rerank_exact"] = td.minhash_rerank_exact_sql()
     o["ann_cosine_topk"] = sim.brute_force_topk_sql(k=5)
     o["ann_lsh_buckets"] = sim.lsh_buckets_sql()

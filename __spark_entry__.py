@@ -1316,15 +1316,18 @@ _WINDOW_PRIORITY = [
 # 380 KB) this is belt-and-braces.
 #
 # DELIBERATE EXCEPTION to the "front-load new queries" policy:
-# r5's new queries (shapefile_multipatch_roundtrip plus the eight
-# curation ops: stratified_sample, pack_sequences, pii_redact,
-# dup_ngram_spans, decontaminate_bench, mixture_resample,
-# token_budget_select, line_dedup_reassemble) are NOT in the window —
-# VERDICT r4 #4 pins the r5 window to exactly the burned set so all 50
-# re-green, and displacing any of them (the alternative) would push
-# that entry's staleness past the ≤2-round rule.  All nine are
-# local_verify- and pytest-covered this round and are the FIRST
-# candidates for the r6 window rotation.
+# r5's 18 new queries (shapefile_multipatch_roundtrip; the curation
+# ops stratified_sample, pack_sequences, pii_redact, dup_ngram_spans,
+# decontaminate_bench, mixture_resample, token_budget_select,
+# line_dedup_reassemble, quality_classifier,
+# minhash_incremental_dedup; the PQ family ann_pq_codes,
+# ann_pq_adc_topk, ann_ivfpq_topk, ann_ivfpq_rerank_topk,
+# ann_pq_recall_report; asof_join_clicks_views; zorder_layout_keys)
+# are NOT in the window — VERDICT r4 #4 pins the r5 window to exactly
+# the burned set so all 50 re-green, and displacing any of them (the
+# alternative) would push that entry's staleness past the ≤2-round
+# rule.  All 18 are local_verify- and pytest-covered this round and
+# are the FIRST candidates for the r6 window rotation.
 
 
 _ORACLE_SIZES: dict | None = None

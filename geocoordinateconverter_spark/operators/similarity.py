@@ -1166,7 +1166,10 @@ def ivfpq_rerank_topk(emb: DataFrame, k: int = 5, nprobe: int = 3,
             .select(F.col("vec_id").alias("q_id"),
                     F.col("embedding").alias("q_emb"),
                     norm2_col("embedding").alias("q_n2")))
-    rer = (short.join(raw, "vec_id").join(F.broadcast(qraw), "q_id")
+    # broadcast the Q×shortlist survivors against the STREAMED corpus:
+    # the refine read never shuffles the embeddings table
+    rer = (raw.join(F.broadcast(short), "vec_id")
+           .join(F.broadcast(qraw), "q_id")
            .withColumn("cos", dot_col("q_emb", "embedding")
                        / F.sqrt(F.col("q_n2") * F.col("n2"))))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),

@@ -485,6 +485,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("k", "station_id", "dist2", "rk"))
     q["knn_join_stations"] = q_knn
 
+    # ---- ε-radius distance join (within-R spatial join) ------------------
+    def q_radius(spark, sf_dir):
+        _register(spark, sf_dir)
+        pts = spark.sql(f"SELECT * FROM {_src_wgs('o_orderkey', 'orders')}")
+        return (knn_op.radius_join(pts, spark, key="k")
+                .select("k", "station_id", "dist2"))
+    q["radius_join_stations"] = q_radius
+
     # ---- AFT point location (A1/A2) --------------------------------------
     def q_aft(spark, sf_dir):
         _register(spark, sf_dir)
@@ -790,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_dup_pairs"] = _shared_simhash
     q["ngram_jaccard_pairs"] = lambda s, d: td.ngram_jaccard_pairs(_docs(s, d))
     q["text_stats"] = lambda s, d: td.text_stats(_docs(s, d))
+    q["tfidf_top_terms"] = lambda s, d: td.tfidf_top_terms(_docs(s, d))
     q["lang_id"] = lambda s, d: td.lang_id(_docs(s, d))
     q["bpe_token_stats"] = lambda s, d: td.bpe_token_stats(_docs(s, d))
     q["rolling_fingerprint"] = lambda s, d: td.rolling_fingerprint(_docs(s, d))
@@ -1454,6 +1463,10 @@ WHERE rk <= 3
         f"SELECT k, station_id, dist2, rk "
         f"FROM {knn_op.knn_oracle_sql(_pts_orders, 'k', 3)} q")
 
+    o["radius_join_stations"] = (
+        f"SELECT k, station_id, dist2 "
+        f"FROM {knn_op.radius_oracle_sql(_pts_orders, 'k')} q")
+
     _gk_norm = (f"(SELECT k, case when x > 1000000.0e0 then x - 5000000.0e0 else x end AS x, y "
                 f"FROM {SRC_GK_LINEITEM}) q_n")
     o["aft_locate_triangle"] = (
@@ -1581,6 +1594,7 @@ GROUP BY lang
     o["simhash_near_dup_pairs"] = td.simhash_near_dup_pairs_sql()
     o["ngram_jaccard_pairs"] = td.ngram_jaccard_sql()
     o["text_stats"] = td.text_stats_sql()
+    o["tfidf_top_terms"] = td.tfidf_top_terms_sql()
     o["lang_id"] = td.lang_id_sql()
     o["bpe_token_stats"] = td.BPE_TOKEN_STATS_SQL
     o["rolling_fingerprint"] = td.rolling_fingerprint_sql()

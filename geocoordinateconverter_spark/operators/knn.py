@@ -83,6 +83,33 @@ def _max_kth_nn_dist(pos: np.ndarray, k: int) -> float:
     return float(kth + step)
 
 
+def _station_rings(spark: SparkSession, pos: np.ndarray,
+                   radius: float) -> DataFrame:
+    """(cell, station_id) rows registering each station in every
+    KNN_CELL_RES cell any of whose points could lie within ``radius``
+    (metric units of :func:`_dist2`'s sqrt) of it — Chebyshev ring
+    with one cell of slack, clipped to the bbox grid."""
+    n_st = pos.shape[0]
+    n = cells.n_cells(KNN_CELL_RES)
+    cell_h = (BBOX_FI_MAX - BBOX_FI_MIN) / n
+    cell_w = (BBOX_LA_MAX - BBOX_LA_MIN) / n
+    r_fi = int(np.ceil(radius / cell_h)) + 1
+    r_la = int(np.ceil(radius / LA_FACTOR / cell_w)) + 1
+    ring_rows = []
+    for i in range(n_st):
+        c = int(cells.encode(pos[i, 0:1], pos[i, 1:2], KNN_CELL_RES)[0])
+        _, ix, iy = cells.decode(np.asarray([c], np.int64))
+        ix, iy = int(ix[0]), int(iy[0])
+        for dx in range(-r_la, r_la + 1):
+            for dy in range(-r_fi, r_fi + 1):
+                jx, jy = ix + dx, iy + dy
+                if 0 <= jx < n and 0 <= jy < n:
+                    ring_rows.append(
+                        ((KNN_CELL_RES << cells.RES_SHIFT)
+                         + (jx << cells.IX_SHIFT) + jy, i))
+    return spark.createDataFrame(ring_rows, "cell bigint, station_id int")
+
+
 def _dist2(fi, la):
     return ((F.col(fi) - F.col("s_fi")) * (F.col(fi) - F.col("s_fi"))
             + (F.lit(LA_FACTOR) * (F.col(la) - F.col("s_la")))
@@ -157,24 +184,7 @@ def knn_join(points: DataFrame, spark: SparkSession, key: str,
         # asserted row-for-row against the broadcast path in tests.
         pos = station_positions(n_st)
         d_max = _max_kth_nn_dist(pos, k)
-        n = cells.n_cells(KNN_CELL_RES)
-        cell_h = (BBOX_FI_MAX - BBOX_FI_MIN) / n
-        cell_w = (BBOX_LA_MAX - BBOX_LA_MIN) / n
-        r_fi = int(np.ceil(d_max / cell_h)) + 1
-        r_la = int(np.ceil(d_max / LA_FACTOR / cell_w)) + 1
-        ring_rows = []
-        for i in range(n_st):
-            c = int(cells.encode(pos[i, 0:1], pos[i, 1:2], KNN_CELL_RES)[0])
-            _, ix, iy = cells.decode(np.asarray([c], np.int64))
-            ix, iy = int(ix[0]), int(iy[0])
-            for dx in range(-r_la, r_la + 1):
-                for dy in range(-r_fi, r_fi + 1):
-                    jx, jy = ix + dx, iy + dy
-                    if 0 <= jx < n and 0 <= jy < n:
-                        ring_rows.append(
-                            ((KNN_CELL_RES << cells.RES_SHIFT)
-                             + (jx << cells.IX_SHIFT) + jy, i))
-        rings = spark.createDataFrame(ring_rows, "cell bigint, station_id int")
+        rings = _station_rings(spark, pos, d_max)
         from ..kernels import cell_col
         # The ring-radius bound is proven over the WORKING BBOX only:
         # cells.encode clips an out-of-bbox point into an edge cell,
@@ -233,6 +243,78 @@ def knn_oracle_sql(points_src: str, key: str, k: int = 3,
                      s.station_id ASC) AS rk
    FROM {points_src} p CROSS JOIN {stations_values_sql(n_st)} s
  ) q WHERE rk <= {k})
+"""
+
+
+RADIUS_DEFAULT = 0.1  # metric units of _dist2's sqrt (≈11 km N-S)
+
+
+def radius_join(points: DataFrame, spark: SparkSession, key: str,
+                fi_col: str = "fi", la_col: str = "la",
+                radius: float = RADIUS_DEFAULT, n_st: int = 25,
+                method: str = "cellprune") -> DataFrame:
+    """ε-distance join — [NORTH-RULE] (SURVEY.md §3.6 spatial joins):
+    every (point, station) pair with ``dist2 <= radius²``.  Unlike
+    :func:`knn_join` (top-k per point) this is a within-distance join
+    (reference analogue: gk-slo's nearest-tie-point search is bounded
+    by a fixed grid radius — conv.c's triangle candidate pruning).
+
+    Physical strategies:
+
+    * ``cellprune`` (default, the 10¹²-row path) — stations register in
+      every cell within the radius ring (:func:`_station_rings`), points
+      equi-join on their codegen cell id, then the exact predicate
+      filters.  Candidate fan-out per point is O(stations nearby), not
+      O(n_st); the plan is Scan → BroadcastHashJoin ×2 → Filter, no
+      BroadcastNestedLoopJoin, no shuffle of the point side.
+    * ``broadcast`` — unpruned broadcast candidate set + filter; the
+      SQL-mirrorable twin, and the exact fallback for out-of-bbox
+      points (cells.encode clips those into edge cells, voiding the
+      ring superset proof — same gate as cellring kNN).
+
+    The predicate is pure ``*``/``-``/``+`` on float64 (no libm), so
+    Spark and the DuckDB oracle agree bit-for-bit with no tolerance.
+    """
+    points = points.filter(F.col(fi_col).isNotNull()
+                           & F.col(la_col).isNotNull())
+    st = stations_df(spark, n_st)
+    r2 = radius * radius
+    if method == "broadcast":
+        cand = points.join(F.broadcast(st))
+    elif method == "cellprune":
+        pos = station_positions(n_st)
+        rings = _station_rings(spark, pos, radius)
+        from ..kernels import cell_col
+        in_bbox = (F.col(fi_col).between(BBOX_FI_MIN, BBOX_FI_MAX)
+                   & F.col(la_col).between(BBOX_LA_MIN, BBOX_LA_MAX))
+        pts = (points.filter(in_bbox)
+               .withColumn("cell", cell_col(F.col(fi_col), F.col(la_col),
+                                            KNN_CELL_RES)))
+        cand = (pts.join(F.broadcast(rings), "cell")
+                .join(F.broadcast(st), "station_id")
+                .drop("cell"))
+        # eager out-of-bbox probe, same contract as cellring kNN above
+        if points.filter(~in_bbox).limit(1).count():
+            cand = cand.unionByName(
+                points.filter(~in_bbox).join(F.broadcast(st)))
+    else:
+        raise ValueError(method)
+    return (cand.withColumn("dist2", _dist2(fi_col, la_col))
+            .filter(F.col("dist2") <= F.lit(r2))
+            .drop("s_fi", "s_la", "s_cell"))
+
+
+def radius_oracle_sql(points_src: str, key: str,
+                      radius: float = RADIUS_DEFAULT, n_st: int = 25,
+                      fi: str = "fi", la: str = "la") -> str:
+    """Brute-force oracle: cross join + the identical exact predicate."""
+    d2 = (f"(p.{fi} - s.s_fi) * (p.{fi} - s.s_fi) "
+          f"+ ({_f(LA_FACTOR)} * (p.{la} - s.s_la)) "
+          f"* ({_f(LA_FACTOR)} * (p.{la} - s.s_la))")
+    return f"""
+(SELECT p.{key} AS {key}, s.station_id AS station_id, {d2} AS dist2
+ FROM {points_src} p CROSS JOIN {stations_values_sql(n_st)} s
+ WHERE {d2} <= {_f(radius * radius)})
 """
 
 

@@ -1417,3 +1417,60 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN o_cnt o ON d.doc_id = o.doc_id
 LEFT JOIN n_cnt n ON d.doc_id = n.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (corpus term weighting — the classic relevance signal)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` terms by tf·idf, ties → term asc.
+
+    idf = ln((N+1)/(df+1)) with N = corpus doc count (smoothed so
+    df = N keeps a positive weight).  Output columns are INTEGERS only
+    (doc_id, term, tf, df_docs, rk): the float score is used solely
+    for ordering, so engine libm ulp differences cannot surface in
+    values — only in rank order, and only if two distinct (tf, df)
+    pairs collide within ~1e-15 relative (the margin pytest measures
+    the driver fixture's actual rank-boundary gap).
+
+    Shuffle shape at 10¹² docs: tokenize is map-only; tf is one
+    groupBy(doc_id, term); df is a partial-agg'd groupBy(term) over
+    the already-aggregated tf table; the tf⋈df join shuffles on term (AQE
+    broadcasts it when the vocabulary fits); final top-k is a bounded
+    window per doc_id.  N rides in as a literal from an eager
+    ``docs.count()`` — one columnless scan, the same eager-scalar
+    contract as cellprune's bbox probe.
+    """
+    n_docs = docs.count()
+    tf = (tokens(docs).groupBy("doc_id", F.col("tok").alias("term"))
+          .agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    score = (F.col("tf").cast("double")
+             * F.log(F.lit(float(n_docs + 1))
+                     / (F.col("df_docs") + F.lit(1)).cast("double")))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (tf.join(dfreq, "term")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "term", "tf", "df_docs", "rk"))
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM {TOKENS_SQL} t GROUP BY doc_id, tok),
+dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df_docs, rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+         cast(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY cast(tf.tf as double)
+                    * ln(cast(n.n_docs + 1 as double)
+                         / cast(dfreq.df_docs + 1 as double)) DESC,
+                    tf.term ASC) as int) AS rk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n) q
+WHERE rk <= {k}
+"""

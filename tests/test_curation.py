@@ -476,3 +476,66 @@ def test_minhash_incremental_never_pairs_old_vs_old(spark):
            td.minhash_incremental_dedup(_docs_df(spark, rows)).collect()}
     assert set(got) == {1}
     assert got[1].keep == 1
+
+
+# ---- tf-idf top terms -----------------------------------------------------
+
+def test_tfidf_rank_margin_and_semantics(spark):
+    """(a) crafted corpus: ranks match an independent pandas/numpy
+    tf-idf; (b) driver fixture (sf0.01): the score gap at every
+    rk=3|4 boundary is orders of magnitude above libm ulp noise, so
+    Spark-vs-DuckDB ordering cannot flip on the gate dataset."""
+    import numpy as np
+
+    from geocoordinateconverter_spark.operators import textdedup as td
+
+    rows = [(0, "apple apple banana cherry"),
+            (1, "apple  banana banana banana date"),   # multi-space
+            (2, "cherry date elder elder"),
+            (3, "")]                                    # no tokens → absent
+    got = (td.tfidf_top_terms(_docs_df(spark, rows), k=2).toPandas()
+           .sort_values(["doc_id", "rk"]).reset_index(drop=True))
+    toks = {i: [t for t in s.split(" ") if t] for i, s in rows}
+    n = len(rows)
+    dfreq = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    exp = []
+    for i, ts in toks.items():
+        tf = {t: ts.count(t) for t in set(ts)}
+        scored = sorted(
+            ((-c * np.log((n + 1) / (dfreq[t] + 1.0)), t) for t, c in tf.items()))
+        exp += [(i, t, tf[t], dfreq[t], r + 1)
+                for r, (_, t) in enumerate(scored[:2])]
+    assert ([tuple(r) for r in got.to_numpy()] ==
+            sorted(exp, key=lambda r: (r[0], r[4])))
+    assert 3 not in set(got["doc_id"])
+
+    # (b) fixture margin audit at the driver SF
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.01/documents.parquet')")
+    margins = con.execute("""
+        WITH tf AS (
+          SELECT doc_id, tok AS term, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) q WHERE tok <> '' GROUP BY doc_id, tok),
+        dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id,
+                 cast(tf as double)
+                 * ln(cast(n_docs + 1 as double)
+                      / cast(df_docs + 1 as double)) AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rk
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT a.doc_id, a.score - b.score AS gap
+        FROM scored a JOIN scored b USING (doc_id)
+        WHERE a.rk = 3 AND b.rk = 4 AND a.score <> b.score
+    """).df()
+    con.close()
+    # distinct-score boundaries sit far above the ~1e-15 ulp class;
+    # equal-score boundaries are term-asc ties, deterministic by value
+    assert len(margins) and margins["gap"].min() > 1e-9

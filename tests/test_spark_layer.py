@@ -124,6 +124,33 @@ def test_knn_methods_agree(spark, pts_df):
     pd.testing.assert_frame_equal(a, c)  # exact, incl. float64 dist2
 
 
+def test_radius_join_methods_agree(spark, pts_df):
+    """cellprune (equi-join pruned) ≡ broadcast (unpruned) row-for-row
+    with bit-identical dist2; out-of-bbox rows take the exact fallback;
+    NULL-coordinate rows are excluded by every method."""
+    extra = spark.createDataFrame(
+        [(90001, 48.5, 15.0, 100.0),       # out of bbox (north)
+         (90002, None, 14.5, 100.0)],      # NULL fi → excluded
+        "k long, fi double, la double, h double")
+    pts = pts_df.unionByName(extra)
+    cols = ["k", "station_id", "dist2"]
+    a = (knn_op.radius_join(pts, spark, key="k", method="broadcast")
+         .select(*cols).toPandas()
+         .sort_values(["k", "station_id"]).reset_index(drop=True))
+    b = (knn_op.radius_join(pts, spark, key="k", method="cellprune")
+         .select(*cols).toPandas()
+         .sort_values(["k", "station_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)  # exact, incl. float64 dist2
+    assert 90002 not in set(a["k"])
+    # every emitted pair satisfies the predicate; brute-force recount
+    pos = knn_op.station_positions(25)
+    d2 = ((FI[:, None] - pos[None, :, 0]) ** 2
+          + (knn_op.LA_FACTOR * (LA[:, None] - pos[None, :, 1])) ** 2)
+    exp_in = int((d2 <= knn_op.RADIUS_DEFAULT ** 2).sum())
+    n_oob = int(len(a[a["k"] == 90001]))
+    assert len(a) == exp_in + n_oob
+
+
 def test_cli_api_parity(spark, pts_df):
     """api.convert: -r recovers the unswapped result bitwise; extra
     columns pass through; -dms matches the shared DMS arithmetic."""

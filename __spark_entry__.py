@@ -493,6 +493,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("k", "station_id", "dist2"))
     q["radius_join_stations"] = q_radius
 
+    # ---- host-graph PageRank (iterative dataflow, int64 fixed-point) -----
+    def q_pagerank(spark, sf_dir):
+        _register(spark, sf_dir)
+        from geocoordinateconverter_spark.operators import graph as graph_op
+        return graph_op.pagerank_hosts(spark.table("orders"), spark)
+    q["pagerank_hosts"] = q_pagerank
+
     # ---- AFT point location (A1/A2) --------------------------------------
     def q_aft(spark, sf_dir):
         _register(spark, sf_dir)
@@ -1336,7 +1343,9 @@ _WINDOW_PRIORITY = [
 # the burned set so all 50 re-green, and displacing any of them (the
 # alternative) would push that entry's staleness past the ≤2-round
 # rule.  All 18 are local_verify- and pytest-covered this round and
-# are the FIRST candidates for the r6 window rotation.
+# are the FIRST candidates for the r6 window rotation — together with
+# the wave-3 additions radius_join_stations, tfidf_top_terms, and
+# pagerank_hosts (same local_verify + pytest coverage this round).
 
 
 _ORACLE_SIZES: dict | None = None
@@ -1466,6 +1475,9 @@ WHERE rk <= 3
     o["radius_join_stations"] = (
         f"SELECT k, station_id, dist2 "
         f"FROM {knn_op.radius_oracle_sql(_pts_orders, 'k')} q")
+
+    from geocoordinateconverter_spark.operators import graph as graph_op
+    o["pagerank_hosts"] = graph_op.pagerank_hosts_sql()
 
     _gk_norm = (f"(SELECT k, case when x > 1000000.0e0 then x - 5000000.0e0 else x end AS x, y "
                 f"FROM {SRC_GK_LINEITEM}) q_n")

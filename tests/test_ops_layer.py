@@ -245,3 +245,38 @@ def test_stateful_streaming_dedup(spark, docs, tmp_path_factory):
     assert list(got["text_md5"]) == list(batch["text_md5"])
     assert list(got["keep_doc_id"]) == list(batch["keep_doc_id"])
     assert list(got["n_seen"]) == list(batch["n_dups"])
+
+
+def test_pagerank_fixed_point_deterministic(spark):
+    """(a) partitioning invariance: int64 fixed-point ranks are
+    bit-identical across shuffle-partition counts (the float form
+    would not be); (b) sanity vs a float numpy PageRank on the same
+    graph: relative agreement to ~1e-10 (5 truncating int divisions
+    at scale 1e12 cost at most ~5e-12 each)."""
+    from geocoordinateconverter_spark.operators import graph as gr
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    a = (gr.pagerank_hosts(orders, spark).toPandas()
+         .sort_values("node").reset_index(drop=True))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = (gr.pagerank_hosts(orders, spark).toPandas()
+             .sort_values("node").reset_index(drop=True))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    pd.testing.assert_frame_equal(a, b)
+
+    e = (gr.host_edges(orders).toPandas()
+         .drop_duplicates().to_numpy())
+    n = gr.N_HOSTS
+    out = np.zeros(n)
+    np.add.at(out, e[:, 0], 1)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(gr.N_ITER):
+        nxt = np.full(n, 0.15 / n)
+        contrib = pr[e[:, 0]] / out[e[:, 0]]
+        np.add.at(nxt, e[:, 1], 0.85 * contrib)
+        pr = nxt
+    got = a["pr"].to_numpy() / gr.SCALE
+    np.testing.assert_allclose(got, pr, rtol=0, atol=1e-9)

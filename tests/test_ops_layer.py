@@ -280,3 +280,53 @@ def test_pagerank_fixed_point_deterministic(spark):
         pr = nxt
     got = a["pr"].to_numpy() / gr.SCALE
     np.testing.assert_allclose(got, pr, rtol=0, atol=1e-9)
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path_factory):
+    """Late-data semantics (round brief: watermarks + windowed aggs):
+    in append mode a window is emitted once its end passes the
+    watermark, and a row arriving after that — older than the
+    watermark — is DROPPED, not re-aggregated.  Two availableNow
+    epochs over one checkpoint: epoch 2 delivers a late row into the
+    already-finalized window A plus fresh rows that advance the
+    watermark past window B."""
+    base = tmp_path_factory.mktemp("late")
+    in_dir, out_dir, ck = (str(base / d) for d in ("in", "out", "ck"))
+    import os
+    os.makedirs(in_dir)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        # Spark cannot read TIMESTAMP(NANOS) parquet — write micros
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        # one file per epoch, atomically visible to the file source
+        pdf.to_parquet(f"{in_dir}/{name}.parquet")
+
+    def run_epoch():
+        from geocoordinateconverter_spark.streaming import windows as sw2
+        sdf = sw2.windowed_event_agg_streaming(spark, in_dir, ck)
+        q = (sdf.writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120), "epoch did not finish in 120s"
+
+    t0 = 1_700_000_000 - (1_700_000_000 % 300)      # window-aligned base
+    write_batch("b1", [(t0 + i * 6, "click", 1.0) for i in range(10)]
+                + [(t0 + 3600 + i, "click", 1.0) for i in range(5)])
+    run_epoch()
+    # watermark after epoch 1 ≈ t0+3604-600s → window A [t0, t0+300)
+    # finalized; window B [t0+3600, ...) still open
+    write_batch("b2", [(t0 + 30, "click", 99.0)]     # LATE into window A
+                + [(t0 + 7200 + i, "click", 1.0) for i in range(3)])
+    run_epoch()
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values("win").reset_index(drop=True))
+    win_a, win_b = t0 // 300, (t0 + 3600) // 300
+    # A emitted exactly once, WITHOUT the late row's value=99
+    a = got[got["win"] == win_a]
+    assert len(a) == 1 and int(a["n_events"].iloc[0]) == 10
+    assert float(a["sum_value"].iloc[0]) == 10.0
+    # B finalized by epoch 2's watermark advance; C still open
+    b = got[got["win"] == win_b]
+    assert len(b) == 1 and int(b["n_events"].iloc[0]) == 5
+    assert set(got["win"]) == {win_a, win_b}

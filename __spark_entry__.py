@@ -500,6 +500,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph_op.pagerank_hosts(spark.table("orders"), spark)
     q["pagerank_hosts"] = q_pagerank
 
+    # ---- polygon-polygon bbox-intersects join (spatial hash join) --------
+    def q_bbox_join(spark, sf_dir):
+        _register(spark, sf_dir)
+        from geocoordinateconverter_spark.operators import bboxjoin as bj
+        return bj.bbox_intersects_join(bj.parcels_df(spark), spark)
+    q["bbox_intersects_join"] = q_bbox_join
+
     # ---- AFT point location (A1/A2) --------------------------------------
     def q_aft(spark, sf_dir):
         _register(spark, sf_dir)
@@ -1036,6 +1043,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n")))
     q["cube_events"] = q_cube_events
 
+    def q_grouping_sets(spark, sf_dir):
+        # explicit GROUPING SETS (rollup/cube's general form): a
+        # user-chosen lattice subset — here the two 1-D marginals, the
+        # 2-D cell grid, and the grand total.  grouping_id disambiguates
+        # aggregated-away NULLs from data NULLs (bit=1 ⇔ aggregated).
+        # Catalyst expands to a single Expand + one hash agg — the
+        # 4-set lattice costs ONE shuffle, not four scans.
+        _register(spark, sf_dir)
+        e = spark.table("events")
+        return (e.select("event_type", (F.col("user_id") % 10).alias("cohort"),
+                         "value")
+                .groupingSets([["event_type", "cohort"], ["event_type"],
+                               ["cohort"], []],
+                              "event_type", "cohort")
+                .agg(F.grouping_id("event_type", "cohort").alias("gid"),
+                     F.count("*").alias("n"),
+                     F.min("value").alias("min_v"),
+                     F.max("value").alias("max_v")))
+    q["grouping_sets_events"] = q_grouping_sets
+
+    def q_unpivot(spark, sf_dir):
+        # wide→long (pivot's inverse): per-type metric columns melt to
+        # (metric, val) rows.  Catalyst Expand node — map-only after
+        # the one agg shuffle; the metric list is static (scale-safe,
+        # same rule as the explicit-value pivot).
+        _register(spark, sf_dir)
+        e = spark.table("events")
+        agg = (e.groupBy("event_type")
+               .agg(F.count("*").cast("double").alias("n"),
+                    F.min("value").alias("min_v"),
+                    F.max("value").alias("max_v")))
+        return agg.unpivot("event_type", ["n", "min_v", "max_v"],
+                           "metric", "val")
+    q["unpivot_event_metrics"] = q_unpivot
+
     def q_percentiles(spark, sf_dir):
         # exact interpolated percentiles (distributed sort-based); both
         # engines implement the same (n-1)·p linear interpolation —
@@ -1479,6 +1521,11 @@ WHERE rk <= 3
     from geocoordinateconverter_spark.operators import graph as graph_op
     o["pagerank_hosts"] = graph_op.pagerank_hosts_sql()
 
+    from geocoordinateconverter_spark.operators import bboxjoin as bj
+    o["bbox_intersects_join"] = (
+        f"SELECT k, mun_id, ox, oy FROM "
+        f"{bj.bbox_intersects_oracle_sql(bj.parcels_sql('c_custkey', 'customer'))} q")
+
     _gk_norm = (f"(SELECT k, case when x > 1000000.0e0 then x - 5000000.0e0 else x end AS x, y "
                 f"FROM {SRC_GK_LINEITEM}) q_n")
     o["aft_locate_triangle"] = (
@@ -1745,6 +1792,24 @@ GROUP BY user_id, session_id
 SELECT event_type, date_trunc('month', ts) AS mon, count(*) AS n
 FROM events GROUP BY CUBE (event_type, date_trunc('month', ts))
 """
+    o["grouping_sets_events"] = """
+SELECT cast(grouping_id(event_type, cohort) as bigint) AS gid,
+       event_type, cohort, count(*) AS n,
+       min(value) AS min_v, max(value) AS max_v
+FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events) e
+GROUP BY GROUPING SETS ((event_type, cohort), (event_type), (cohort), ())
+"""
+
+    o["unpivot_event_metrics"] = """
+WITH a AS (
+  SELECT event_type, cast(count(*) as double) AS n,
+         min(value) AS min_v, max(value) AS max_v
+  FROM events GROUP BY event_type)
+SELECT event_type, 'n' AS metric, n AS val FROM a
+UNION ALL SELECT event_type, 'min_v', min_v FROM a
+UNION ALL SELECT event_type, 'max_v', max_v FROM a
+"""
+
     o["exact_percentiles"] = """
 SELECT event_type, quantile_cont(value, 0.25) AS p25,
        quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90,

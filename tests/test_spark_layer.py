@@ -240,3 +240,34 @@ def test_rerun_and_partitioning_determinism(spark, pts_df):
     a = tiles(pts_df)
     b = tiles(pts_df.repartition(17))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bbox_join_cover_equals_bruteforce(spark):
+    """Spatial-hash cover path ≡ broadcast brute force on adversarial
+    rectangles: many-cell spans, slivers, grid-edge clamps, and a
+    rectangle fully outside every municipality."""
+    from geocoordinateconverter_spark.operators import bboxjoin as bj
+    crafted = [
+        (1, 13.5, 45.3, 16.5, 46.9),     # spans nearly the whole grid
+        (2, 14.5, 46.0, 14.5001, 46.8),  # vertical sliver
+        (3, 13.2501, 45.2501, 13.26, 45.26),  # hugs the grid corner
+        (4, 16.74, 46.99, 16.7499, 46.9999),  # far corner, likely no hits
+        (5, 14.0, 46.2, 14.6, 46.21),    # horizontal sliver
+    ]
+    pdf = spark.createDataFrame(
+        crafted, "k long, pxmin double, pymin double, "
+                 "pxmax double, pymax double")
+    got = (bj.bbox_intersects_join(pdf, spark).toPandas()
+           .sort_values(["k", "mun_id"]).reset_index(drop=True))
+    mun = spark.createDataFrame(
+        bj.mun_bbox_rows(20), "mun_id int, mxmin double, mymin double, "
+                              "mxmax double, mymax double")
+    ox = F.least("pxmax", "mxmax") - F.greatest("pxmin", "mxmin")
+    oy = F.least("pymax", "mymax") - F.greatest("pymin", "mymin")
+    brute = (pdf.join(F.broadcast(mun))
+             .withColumn("ox", ox).withColumn("oy", oy)
+             .filter((F.col("ox") > 0) & (F.col("oy") > 0))
+             .select("k", "mun_id", "ox", "oy").toPandas()
+             .sort_values(["k", "mun_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, brute)  # exact, incl. extents
+    assert len(brute) > 5                      # non-trivial fixture

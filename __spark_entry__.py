@@ -507,6 +507,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bj.bbox_intersects_join(bj.parcels_df(spark), spark)
     q["bbox_intersects_join"] = q_bbox_join
 
+    def q_kring(spark, sf_dir):
+        _register(spark, sf_dir)
+        from geocoordinateconverter_spark.operators import tiles as tiles_op
+        pts = spark.sql(f"SELECT * FROM {_src_wgs('o_orderkey', 'orders')}")
+        return tiles_op.kring_smooth(pts, res=5)
+    q["tile_kring_smooth"] = q_kring
+
     # ---- AFT point location (A1/A2) --------------------------------------
     def q_aft(spark, sf_dir):
         _register(spark, sf_dir)
@@ -1520,6 +1527,13 @@ WHERE rk <= 3
 
     from geocoordinateconverter_spark.operators import graph as graph_op
     o["pagerank_hosts"] = graph_op.pagerank_hosts_sql()
+
+    from geocoordinateconverter_spark.operators import tiles as tiles_op
+    o["tile_kring_smooth"] = (
+        "SELECT cell, cast(n_own as bigint) AS n_own, "
+        "cast(n_smooth as bigint) AS n_smooth, "
+        "cast(n_nbrs as bigint) AS n_nbrs FROM ("
+        + tiles_op.kring_smooth_sql(_pts_orders, res=5) + ") q")
 
     from geocoordinateconverter_spark.operators import bboxjoin as bj
     o["bbox_intersects_join"] = (

@@ -125,3 +125,79 @@ def salted_repartition(points: DataFrame, fi: str = "fi", la: str = "la",
             .withColumn("salt", F.pmod(F.monotonically_increasing_id(),
                                        F.lit(n_salt)))
             .repartition(F.col("cell_p"), F.col("salt")))
+
+
+# ---------------------------------------------------------------------------
+# k-ring neighborhood smoothing (grid convolution over tile counts)
+# ---------------------------------------------------------------------------
+
+_CELL_AXIS = 1 << 28      # ix/iy field width in the cell-id layout
+_CELL_RES = 1 << 56
+
+
+def kring_smooth(points: DataFrame, res: int = 5,
+                 fi: str = "fi", la: str = "la") -> DataFrame:
+    """(cell, n_own, n_smooth, n_nbrs): each cell's own point count,
+    the 3×3 k-ring(1) neighborhood sum, and how many populated
+    neighbor cells contributed — the H3 ``kRing``-style smoothing /
+    hotspot-convolution primitive (heatmap blur, density smoothing).
+
+    Scale shape: the convolution runs on the ALREADY-AGGREGATED tile
+    table (|cells| ≪ |points|): decode (ix, iy) arithmetically, explode
+    the 9 offsets map-side (9× a small table, not the corpus), and
+    re-aggregate on the target cell — one extra small shuffle after
+    the tile agg.  n_own rides the same aggregation as a conditional
+    sum, so no self-join.  Every value is integer arithmetic — exact
+    in both engines.  Cells outside the grid are clipped (the grid
+    edge smooths over fewer neighbors, like any finite convolution).
+    """
+    from .. import cells as cellmod
+    n = cellmod.n_cells(res)
+    counts = tile_agg(points, fi, la, res)
+    d = counts.select(
+        "n_pts",
+        F.expr(f"(cell div {_CELL_AXIS}) % {_CELL_AXIS}").alias("ix"),
+        F.expr(f"cell % {_CELL_AXIS}").alias("iy"))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    t = (d.select("n_pts", "ix", "iy", F.explode(offs).alias("o"))
+         .select("n_pts",
+                 (F.col("ix") + F.col("o.dx")).alias("jx"),
+                 (F.col("iy") + F.col("o.dy")).alias("jy"),
+                 ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("own"))
+         .filter(F.col("jx").between(0, n - 1)
+                 & F.col("jy").between(0, n - 1)))
+    return (t.groupBy((F.lit(res).cast("long") * F.lit(_CELL_RES)
+                       + F.col("jx") * F.lit(_CELL_AXIS)
+                       + F.col("jy")).alias("cell"))
+            .agg(F.sum(F.when(F.col("own"), F.col("n_pts"))
+                       .otherwise(F.lit(0))).alias("n_own"),
+                 F.sum("n_pts").alias("n_smooth"),
+                 F.count("*").alias("n_nbrs")))
+
+
+def kring_smooth_sql(points_src: str, res: int = 5,
+                     fi: str = "fi", la: str = "la") -> str:
+    from .. import cells as cellmod
+    n = cellmod.n_cells(res)
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+WITH counts AS (
+  SELECT {cellmod.encode_sql(fi, la, res)} AS cell, count(*) AS n_pts
+  FROM {points_src} p GROUP BY 1),
+d AS (
+  SELECT n_pts, (cell // {_CELL_AXIS}) % {_CELL_AXIS} AS ix,
+         cell % {_CELL_AXIS} AS iy
+  FROM counts),
+t AS (
+  SELECT n_pts, ix + dx AS jx, iy + dy AS jy,
+         (dx = 0 AND dy = 0) AS own
+  FROM d CROSS JOIN (VALUES {offs}) o(dx, dy)
+  WHERE ix + dx BETWEEN 0 AND {n - 1} AND iy + dy BETWEEN 0 AND {n - 1})
+SELECT cast({res} as bigint) * {_CELL_RES}
+       + jx * {_CELL_AXIS} + jy AS cell,
+       sum(CASE WHEN own THEN n_pts ELSE 0 END) AS n_own,
+       sum(n_pts) AS n_smooth, count(*) AS n_nbrs
+FROM t GROUP BY 1
+"""

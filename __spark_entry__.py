@@ -933,6 +933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             "magic")
     q["multimodal_features"] = q_mm_full
 
+    def q_mm_frames(spark, sf_dir):
+        _register(spark, sf_dir)
+        docs = mm.html_binary(spark.table("documents"))
+        return mm.frame_sample(docs)
+    q["multimodal_frame_sample"] = q_mm_frames
+
     # ================= relational layer (SURVEY.md §3.6 gap table) ========
     def q_pricing(spark, sf_dir):
         _register(spark, sf_dir)
@@ -1702,6 +1708,13 @@ GROUP BY lang
         "lower(substr(hex(html), 1, 8)) AS magic FROM ("
         "SELECT doc_id, encode(concat('<html><body>', text, '</body></html>')) "
         "AS html FROM documents) q")
+    o["multimodal_frame_sample"] = (
+        "SELECT doc_id, n_frames, n_sampled, sample_md5 FROM "
+        + mm.frame_sample_sql(
+            "(SELECT doc_id, "
+            "encode(concat('<html><body>', text, '</body></html>')) "
+            "AS html FROM documents)") + " q")
+
     # multimodal_features full oracle: per-char histogram (ASCII fixture
     # → chars ≡ bytes), Shannon entropy from counts, exact mean division
     o["multimodal_features"] = """

@@ -131,3 +131,62 @@ def html_binary(docs: DataFrame) -> DataFrame:
         "html",
         F.concat(F.lit("<html><body>"), F.col("text"),
                  F.lit("</body></html>")).cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (round brief: "frame-sample" for video-like payloads)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 16
+FRAME_STRIDE = 4
+
+
+def frame_sample(df: DataFrame, payload_col: str = "html",
+                 frame_bytes: int = FRAME_BYTES,
+                 stride: int = FRAME_STRIDE) -> DataFrame:
+    """Every ``stride``-th ``frame_bytes``-byte frame of the binary
+    payload: (doc_id, n_frames, n_sampled, sample_md5).
+
+    The "video" is the opaque binary column; frames are fixed-size
+    byte windows (decode stays stubbed per the brief — a real codec
+    would swap in at :func:`decode_media`); sampling keeps frames
+    0, stride, 2·stride, …  The whole operator is pure Catalyst
+    codegen — hex once, slice frames with ``transform(sequence(...))``
+    over the hex string, fingerprint the concatenation — so the hot
+    path never leaves the JVM and the plan is map-only: at 10¹² docs
+    this is the cheapest possible shape (no Arrow crossing, no
+    shuffle).  Trailing partial frames are excluded (codec semantics:
+    only whole frames decode)."""
+    fb2 = frame_bytes * 2
+    d = (df.select("doc_id", F.hex(F.col(payload_col)).alias("hx"))
+         .withColumn("n_frames",
+                     F.floor(F.length("hx") / F.lit(fb2)).cast("bigint"))
+         .withColumn("idxs",
+                     F.when(F.col("n_frames") > 0,
+                            F.sequence(F.lit(0).cast("bigint"),
+                                       F.col("n_frames") - 1,
+                                       F.lit(stride).cast("bigint")))
+                     .otherwise(F.array().cast("array<bigint>"))))
+    sampled = F.array_join(
+        F.transform("idxs", lambda j: F.col("hx").substr(
+            (j * fb2 + 1).cast("int"), F.lit(fb2))), "")
+    return d.select("doc_id", "n_frames",
+                    F.size("idxs").cast("bigint").alias("n_sampled"),
+                    F.md5(sampled).alias("sample_md5"))
+
+
+def frame_sample_sql(src: str, frame_bytes: int = FRAME_BYTES,
+                     stride: int = FRAME_STRIDE) -> str:
+    fb2 = frame_bytes * 2
+    return f"""
+(SELECT doc_id, n_frames,
+        cast(CASE WHEN n_frames > 0 THEN (n_frames - 1) // {stride} + 1
+                  ELSE 0 END as bigint) AS n_sampled,
+        md5(CASE WHEN n_frames > 0 THEN array_to_string(
+              list_transform(range(0, cast(n_frames as bigint), {stride}),
+                             j -> substring(hx, cast(j * {fb2} + 1 as int),
+                                            {fb2})), '')
+            ELSE '' END) AS sample_md5
+ FROM (SELECT doc_id, hx, length(hx) // {fb2} AS n_frames
+       FROM (SELECT doc_id, hex(html) AS hx FROM {src} q_h) q_n) q_f)
+"""

@@ -330,3 +330,29 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path_factory):
     b = got[got["win"] == win_b]
     assert len(b) == 1 and int(b["n_events"].iloc[0]) == 5
     assert set(got["win"]) == {win_a, win_b}
+
+
+def test_frame_sample_reference_and_edges(spark):
+    """frame_sample vs an independent Python reference on crafted
+    payloads: sub-frame payload (0 frames → md5('')), exact frame
+    boundary, trailing partial frame excluded, stride > n_frames."""
+    import hashlib
+
+    payloads = [
+        (0, b"x" * 7),                 # < one frame
+        (1, b"ab" * 8),                # exactly 1 frame (16 B)
+        (2, bytes(range(100))),        # 6 frames + 4-byte tail
+        (3, b"q" * (16 * 13 + 5)),     # 13 frames, stride skips most
+        (4, b""),                      # empty payload
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, html binary")
+    got = {r.doc_id: r for r in mm.frame_sample(df).collect()}
+    for doc_id, p in payloads:
+        hx = p.hex().upper()
+        frames = [hx[j * 32:(j + 1) * 32] for j in range(len(p) // 16)]
+        sampled = "".join(frames[::4])
+        exp_md5 = hashlib.md5(sampled.encode()).hexdigest()
+        r = got[doc_id]
+        assert r.n_frames == len(frames)
+        assert r.n_sampled == (len(frames) + 3) // 4
+        assert r.sample_md5 == exp_md5, doc_id

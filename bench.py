@@ -110,6 +110,17 @@ def q_knn(spark, sf_dir):
     return knn_op.knn_join(pts, spark, key="k", k=3)
 
 
+def q_radius(spark, sf_dir):
+    from geocoordinateconverter_spark.operators import knn as knn_op
+    pts = spark.sql(f"SELECT * FROM {entrymod.SRC_WGS_ORDERS}")
+    return knn_op.radius_join(pts, spark, key="k")
+
+
+def q_bbox(spark, sf_dir):
+    from geocoordinateconverter_spark.operators import bboxjoin as bj
+    return bj.bbox_intersects_join(bj.parcels_df(spark), spark)
+
+
 def q_minhash(spark, sf_dir):
     return td.minhash_pairs(spark.table("documents"))
 
@@ -201,6 +212,11 @@ BENCH_QUERIES = {
     "tile_t3_cells": q_tile,
     "geoparse_gk": q_geoparse,
     "knn_join": q_knn,
+    # r5 wave-3 spatial joins (the other two join geometries: within-R
+    # and region-region; kring/tfidf/pagerank run on small post-agg or
+    # dim-sized tables and aren't corpus-bound — no slots)
+    "radius_join": q_radius,
+    "bbox_join": q_bbox,
     "minhash_lsh_pairs": q_minhash,
     "ann_cosine_topk": q_ann,
     "ann_ivf_topk": q_ann_ivf,

@@ -736,8 +736,14 @@ def _qc_weight_sql(bucket: str) -> str:
 
 
 def quality_classifier(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tok, logit_r, keep): mean hashed-feature weight per
-    document (round-9 for display; keep = logit > QC_THRESHOLD).
+    """(doc_id, n_tok, logit, keep): mean hashed-feature weight per
+    document (keep = logit > QC_THRESHOLD).  logit is emitted RAW:
+    the fold is a fixed left-association and the division a single
+    IEEE op, so the double is bit-identical across engines — while
+    round(x, 9) itself diverges cross-engine at shortest-repr
+    midpoints (hit at sf0.1: 0.0321164375 rounded 8↑/7↓ split —
+    the same class polygon_area_centroid documented and solved the
+    same way).
     Zero-token docs are not scorable and are dropped (the upstream
     c4_quality_filter already kills them)."""
     bucket = ("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) "
@@ -752,8 +758,7 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
          .withColumn("logit",
                      F.col("logit_sum") / F.col("n_tok").cast("double")))
     return d.select(
-        "doc_id", "n_tok",
-        F.round("logit", 9).alias("logit_r"),
+        "doc_id", "n_tok", "logit",
         F.when(F.col("logit") > QC_THRESHOLD, 1).otherwise(0)
         .cast("int").alias("keep"))
 
@@ -773,7 +778,7 @@ scored AS (
            (acc, w) -> acc + w) AS logit_sum
   FROM toks WHERE len(toks) > 0)
 SELECT doc_id, n_tok,
-       round(logit_sum / cast(n_tok as double), 9) AS logit_r,
+       logit_sum / cast(n_tok as double) AS logit,
        CASE WHEN logit_sum / cast(n_tok as double) > {QC_THRESHOLD}
             THEN 1 ELSE 0 END AS keep
 FROM scored

@@ -406,7 +406,7 @@ def _qc_reference(rows):
             b = _hash60(w) % cu.QC_BUCKETS
             s = s + ((((b + 13) * 2654435761) % 1000000) / 1000000.0 - 0.5)
         logit = s / float(len(tk))
-        out.append((i, len(tk), round(logit, 9),
+        out.append((i, len(tk), logit,
                     1 if logit > cu.QC_THRESHOLD else 0))
     return sorted(out)
 

@@ -820,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_pairs"] = lambda s, d: td.ngram_jaccard_pairs(_docs(s, d))
     q["text_stats"] = lambda s, d: td.text_stats(_docs(s, d))
     q["tfidf_top_terms"] = lambda s, d: td.tfidf_top_terms(_docs(s, d))
+    from geocoordinateconverter_spark.operators import sketch as sk
+    q["cms_heavy_hitters"] = lambda s, d: sk.cms_heavy_hitters(_docs(s, d))
     q["lang_id"] = lambda s, d: td.lang_id(_docs(s, d))
     q["bpe_token_stats"] = lambda s, d: td.bpe_token_stats(_docs(s, d))
     q["rolling_fingerprint"] = lambda s, d: td.rolling_fingerprint(_docs(s, d))
@@ -1399,8 +1401,11 @@ _WINDOW_PRIORITY = [
 # alternative) would push that entry's staleness past the ≤2-round
 # rule.  All 18 are local_verify- and pytest-covered this round and
 # are the FIRST candidates for the r6 window rotation — together with
-# the wave-3 additions radius_join_stations, tfidf_top_terms, and
-# pagerank_hosts (same local_verify + pytest coverage this round).
+# the wave-3 additions (radius_join_stations, tfidf_top_terms,
+# pagerank_hosts, bbox_intersects_join, grouping_sets_events,
+# unpivot_event_metrics, tile_kring_smooth, multimodal_frame_sample,
+# cms_heavy_hitters; same local_verify + pytest coverage this round,
+# full-sweep receipts at sf0.01 AND sf0.1).
 
 
 _ORACLE_SIZES: dict | None = None
@@ -1674,6 +1679,8 @@ GROUP BY lang
     o["ngram_jaccard_pairs"] = td.ngram_jaccard_sql()
     o["text_stats"] = td.text_stats_sql()
     o["tfidf_top_terms"] = td.tfidf_top_terms_sql()
+    from geocoordinateconverter_spark.operators import sketch as sk
+    o["cms_heavy_hitters"] = sk.cms_heavy_hitters_sql()
     o["lang_id"] = td.lang_id_sql()
     o["bpe_token_stats"] = td.BPE_TOKEN_STATS_SQL
     o["rolling_fingerprint"] = td.rolling_fingerprint_sql()

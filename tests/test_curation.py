@@ -539,3 +539,45 @@ def test_tfidf_rank_margin_and_semantics(spark):
     # distinct-score boundaries sit far above the ~1e-15 ulp class;
     # equal-score boundaries are term-asc ties, deterministic by value
     assert len(margins) and margins["gap"].min() > 1e-9
+
+
+# ---- count-min sketch -----------------------------------------------------
+
+def test_cms_guarantee_and_reference(spark):
+    """CMS invariants on a crafted corpus: (a) est ≥ exact for EVERY
+    token (threshold=0 exposes the full vocabulary); (b) est equals an
+    independent Python CMS built with the same md5 carve; (c) the
+    heavy-hitter shortlist at a real threshold is exactly the tokens
+    whose estimate clears it."""
+    import hashlib
+
+    from geocoordinateconverter_spark.operators import sketch as sk
+
+    rows = [(i, " ".join(["hot"] * 20 + [f"rare{i}_{j}" for j in range(10)]))
+            for i in range(30)]
+    df = _docs_df(spark, rows)
+    got = {r.token: r for r in
+           sk.cms_heavy_hitters(df, threshold=0).collect()}
+
+    def carve(i, tok):
+        h = hashlib.md5(f"r{i}:{tok}".encode()).hexdigest()
+        return int(h[:15], 16) % sk.CMS_W
+
+    toks = [t for _, txt in rows for t in txt.split(" ") if t]
+    from collections import Counter
+    exact = Counter(toks)
+    grid = [Counter() for _ in range(sk.CMS_D)]
+    for t, c in exact.items():
+        for i in range(sk.CMS_D):
+            grid[i][carve(i, t)] += c
+    assert set(got) == set(exact)
+    for t, c in exact.items():
+        est = min(grid[i][carve(i, t)] for i in range(sk.CMS_D))
+        assert got[t].exact_n == c
+        assert got[t].est_n == est
+        assert got[t].overcount == est - c >= 0
+    # 600 'hot' occurrences vs ≤30-count rares → threshold splits them
+    hh = {r.token for r in sk.cms_heavy_hitters(df, threshold=100).collect()}
+    assert "hot" in hh
+    assert hh == {t for t, _ in got.items()
+                  if got[t].est_n >= 100}

@@ -883,6 +883,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ivf_train_kmeans_exact(spark.table("embeddings"), n_iter=3)
     q["ann_ivf_train_kmeans"] = q_ivf_kmeans
 
+    def q_pq_train(spark, sf_dir):
+        _register(spark, sf_dir)
+        return sim.pq_train_codebooks_exact(spark.table("embeddings"),
+                                            n_iter=3)
+    q["ann_pq_train_codebooks"] = q_pq_train
+
     # ---- r5: product quantization (the compressed-corpus ANN path) -------
     def q_pq_codes(spark, sf_dir):
         _register(spark, sf_dir)
@@ -1925,6 +1931,7 @@ FROM ({sim.over_clustered_sql(_recall_arms)}) q CROSS JOIN nq
     # ---- r3 additions ---------------------------------------------------
     o["ann_ivf_nprobe_topk"] = sim.ivf_nprobe_topk_sql(k=5, nprobe=3)
     o["ann_ivf_train_kmeans"] = sim.ivf_train_kmeans_exact_sql(n_iter=3)
+    o["ann_pq_train_codebooks"] = sim.pq_train_codebooks_exact_sql(n_iter=3)
 
     # ---- r5: product quantization ----------------------------------------
     o["ann_pq_codes"] = sim.pq_codes_rows_sql()

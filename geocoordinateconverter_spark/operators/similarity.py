@@ -1207,3 +1207,168 @@ SELECT q_id, vec_id, rk, round(cos, 9) AS cos_sim FROM (
   JOIN embeddings qe ON s.q_id = qe.vec_id) z
 WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Trained PQ codebooks (per-subspace fixed-point Lloyd — the "train"
+# stage that completes the PQ family: train → encode → ADC → rerank)
+# ---------------------------------------------------------------------------
+
+def pq_init_q() -> np.ndarray:
+    """(PQ_M, PQ_K, PQ_SUBDIM) int64 init = the deterministic grid
+    codebook (pq_coef), quantized — the same init-from-fixed-grid
+    contract as kmeans_init_q."""
+    return np.array(
+        [[[_qfloor(pq_coef(m, j, d)) for d in range(PQ_SUBDIM)]
+          for j in range(PQ_K)] for m in range(PQ_M)], dtype=np.int64)
+
+
+def _pq_assign_q_udf(Cq: np.ndarray):
+    """array<int> of PQ_M codes per quantized vector: per subspace,
+    exact int64 scores 2·x_m·c − ‖c‖², first-max-wins argmax (≡ the
+    oracle's ORDER BY score DESC, cluster ASC)."""
+    ss = np.einsum("mjd,mjd->mj", Cq, Cq)
+
+    @pandas_udf("array<int>")
+    def _udf(q: pd.Series) -> pd.Series:
+        X = np.stack(q.to_numpy()).astype(np.int64)
+        codes = np.empty((X.shape[0], PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            Xm = X[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            score = 2 * (Xm @ Cq[m].T) - ss[m]
+            codes[:, m] = score.argmax(axis=1)
+        return pd.Series([r.tolist() for r in codes])
+
+    return _udf
+
+
+def pq_train_codebooks_exact(emb: DataFrame, n_iter: int = 3) -> DataFrame:
+    """(m, cluster, n_vecs, d, centroid): PQ_M independent sub-space
+    k-means runs, trained jointly in the SAME passes — one Arrow
+    assignment crossing and one integer groupBy per iteration cover
+    all 8 subspaces (the per-subspace state is just a (m, cluster)
+    composite key).  Same fixed-point int64 contract as
+    :func:`ivf_train_kmeans_exact`: order-invariant integer sums,
+    driver syncs ≤ PQ_M·PQ_K·PQ_SUBDIM = 1024 longs per iteration,
+    bit-reproducible across partitionings, FULL unrolled-CTE oracle.
+    Empty (m, cluster) cells keep their previous centroid and are
+    absent from the output (no assigned vectors), mirroring the IVF
+    trainer's contract."""
+    import math
+    Cq = pq_init_q()
+    vq = emb.select("vec_id", _vq_expr().alias("q")).persist()
+    stats = []
+    try:
+        for _ in range(n_iter):
+            assigned = vq.withColumn("codes",
+                                     _pq_assign_q_udf(Cq)(F.col("q")))
+            stats = (assigned
+                     .select(F.posexplode("q").alias("d", "v"), "codes")
+                     .select((F.col("d") / PQ_SUBDIM).cast("int").alias("m"),
+                             (F.col("d") % PQ_SUBDIM).alias("dl"),
+                             F.expr(f"element_at(codes, "
+                                    f"cast(d div {PQ_SUBDIM} as int) + 1)")
+                             .alias("cluster"),
+                             "v")
+                     .groupBy("m", "cluster", "dl")
+                     .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                     .collect())  # ≤ PQ_M·PQ_K·PQ_SUBDIM tiny rows
+            Cq = Cq.copy()
+            for r in stats:
+                Cq[r.m, r.cluster, r.dl] = math.floor(r.s / r.n + 0.5)
+    finally:
+        vq.unpersist()
+    spark = emb.sparkSession
+    counts = spark.createDataFrame(
+        [(int(r.m), int(r.cluster), int(r.n))
+         for r in stats if r.dl == 0],
+        "m int, cluster int, n_vecs long")
+    cent = spark.createDataFrame(
+        [(int(m), int(j), int(d), float(Cq[m, j, d]) / KM_SCALE)
+         for m in range(PQ_M) for j in range(PQ_K)
+         for d in range(PQ_SUBDIM)],
+        "m int, cluster int, d int, centroid double")
+    return (counts.join(F.broadcast(cent), ["m", "cluster"])
+            .select("m", "cluster", "n_vecs", "d", "centroid"))
+
+
+def pq_train_replay_exact(V: np.ndarray, n_iter: int = 3):
+    """NumPy replay twin (pytest): returns (codes, Cq)."""
+    Q = np.floor(V.astype(np.float64) * KM_SCALE + 0.5).astype(np.int64)
+    Cq = pq_init_q()
+    codes = None
+    for _ in range(n_iter):
+        codes = np.empty((Q.shape[0], PQ_M), dtype=np.int64)
+        ss = np.einsum("mjd,mjd->mj", Cq, Cq)
+        for m in range(PQ_M):
+            Xm = Q[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            codes[:, m] = (2 * (Xm @ Cq[m].T) - ss[m]).argmax(axis=1)
+        Cq = Cq.copy()
+        for m in range(PQ_M):
+            for j in range(PQ_K):
+                msk = codes[:, m] == j
+                if msk.any():
+                    Xm = Q[msk, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+                    Cq[m, j] = np.floor(Xm.sum(axis=0) / msk.sum() + 0.5)
+    return codes, Cq
+
+
+def _pq_c0_sql() -> str:
+    """Quantized grid init reproduced arithmetically (the SQL twin of
+    pq_init_q; _pq_coef_sql carries the 1-based-d offset)."""
+    coef = _pq_coef_sql("mm.m", "cl.j", "gd.i")
+    return f"""
+(SELECT mm.m AS m, cl.j AS cluster, gd.i - 1 AS dl,
+        cast(floor({coef} * {KM_SCALE}.0e0 + 0.5e0) AS bigint) AS cq
+ FROM generate_series(0, {PQ_M - 1}) AS mm(m),
+      generate_series(0, {PQ_K - 1}) AS cl(j),
+      generate_series(1, {PQ_SUBDIM}) AS gd(i))
+"""
+
+
+def pq_train_codebooks_exact_sql(n_iter: int = 3) -> str:
+    """DuckDB twin: the per-subspace Lloyd unrolled as CTE stages —
+    the ivf_train_kmeans_exact_sql recurrence with the composite
+    (m, cluster) key."""
+    parts = [f"""
+pts AS (
+  SELECT vec_id, (gs.i - 1) // {PQ_SUBDIM} AS m,
+         (gs.i - 1) % {PQ_SUBDIM} AS dl,
+         cast(floor(cast(embedding[gs.i] AS double) * {KM_SCALE}.0e0
+                    + 0.5e0) AS bigint) AS vq
+  FROM embeddings, generate_series(1, {DIM}) AS gs(i)),
+c0 AS (SELECT * FROM {_pq_c0_sql()} q_c0)"""]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        parts.append(f"""
+ss{p} AS (SELECT m, cluster, sum(cq * cq) AS ss
+          FROM c{p} GROUP BY m, cluster),
+sc{k} AS (SELECT p.vec_id, p.m, c.cluster, 2 * sum(p.vq * c.cq) AS dot2
+          FROM pts p JOIN c{p} c ON p.m = c.m AND p.dl = c.dl
+          GROUP BY p.vec_id, p.m, c.cluster),
+a{k} AS (SELECT vec_id, m, cluster FROM (
+           SELECT s.vec_id, s.m, s.cluster,
+                  row_number() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY s.dot2 - w.ss DESC, s.cluster ASC) AS rn
+           FROM sc{k} s JOIN ss{p} w
+             ON s.m = w.m AND s.cluster = w.cluster) r{k}
+         WHERE rn = 1),
+u{k} AS (SELECT a.m, a.cluster, p.dl, sum(p.vq) AS s, count(*) AS n
+         FROM a{k} a JOIN pts p ON a.vec_id = p.vec_id AND a.m = p.m
+         GROUP BY a.m, a.cluster, p.dl),
+c{k} AS (SELECT c.m, c.cluster, c.dl,
+                CASE WHEN u.n IS NULL THEN c.cq
+                     ELSE cast(floor(cast(u.s AS double) / u.n + 0.5e0)
+                               AS bigint) END AS cq
+         FROM c{p} c LEFT JOIN u{k} u
+           ON c.m = u.m AND c.cluster = u.cluster AND c.dl = u.dl)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body},
+counts AS (SELECT m, cluster, count(*) AS n_vecs
+           FROM a{n_iter} GROUP BY m, cluster)
+SELECT co.m, co.cluster, co.n_vecs, ce.dl AS d,
+       ce.cq / {KM_SCALE}.0e0 AS centroid
+FROM counts co JOIN c{n_iter} ce
+  ON co.m = ce.m AND co.cluster = ce.cluster
+"""

@@ -10,7 +10,12 @@ spatial-hash-join shape used by every distributed geo engine:
    ``cells.cover_bbox`` driver-side and broadcasts; the parcel side
    (the 10¹²-row side) covers in pure Catalyst codegen — floor/clip
    arithmetic plus a two-level ``explode(sequence(...))``, bounded by
-   construction to ≤ ~5×5 cells per parcel at PARCEL_RES.
+   construction to ≤ ~5×5 cells per parcel at PARCEL_RES.  NOTE the
+   cover cost is O(bbox area / cell area): the operator is sized for
+   parcel-class rectangles (≪ a cell ring); a caller with
+   continent-scale regions should cover those at a coarser res on the
+   DIM side (mun-style) — per-row adaptive res would break the
+   equi-join key and is deliberately not attempted.
 2. **Equi-join on cell** (BroadcastHashJoin — never BNLJ) then
    ``distinct`` collapses multi-cell hits of the same pair.
    Superset proof: two bboxes with a strictly-overlapping interior

@@ -64,11 +64,18 @@ def cms_heavy_hitters(docs: DataFrame, d: int = CMS_D,
     # exact counts (fixture-scale ground truth; at corpus scale this
     # side is filtered to the shortlist's tokens first)
     exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
-    # estimate: d broadcast lookups against the ≤ d·w-row grid
+    # estimate: d broadcast lookups against the ≤ d·w-row grid.
+    # The grid is COLLECTED once (≤ d·w tiny rows — the sketch state
+    # itself): filtering the lazy `grid` per row i would re-execute
+    # the full token-stream lineage d times (the exact recompute
+    # class the _PAIRS_MEMO fix closed for minhash).
+    spark = docs.sparkSession
+    grid_rows = grid.collect()
     est = exact
     for i in range(d):
-        g = grid.filter(F.col("i") == i).select(
-            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}"))
+        g = spark.createDataFrame(
+            [(int(r.bucket), int(r.c)) for r in grid_rows if r.i == i],
+            f"b{i} bigint, c{i} bigint")
         est = (est.withColumn(f"b{i}", F.expr(_bucket_sql(i, "tok")))
                .join(F.broadcast(g), f"b{i}").drop(f"b{i}"))
     est_n = F.least(*[F.col(f"c{i}") for i in range(d)])

@@ -272,3 +272,65 @@ def test_cc_star_random_graphs_match_union_find(spark):
         got = {r.doc_id: r.label for r in td._cc_star(e, 25).collect()}
         exp = _union_find_labels(n, edges)
         assert got == exp, (n, len(edges))
+
+
+# ---- r5 wave-3 spatial joins: seeded-random property tests ---------------
+
+def test_radius_join_random_points_match_numpy(spark):
+    """radius_join (cellprune) on seeded random points — including
+    out-of-bbox and boundary-hugging coordinates — equals a NumPy
+    brute force exactly, pair set AND float64 dist2."""
+    from geocoordinateconverter_spark.operators import knn as knn_op
+    rng = np.random.default_rng(57)
+    n = 3000
+    # 80% in-bbox, 10% out-of-bbox, 10% hugging the bbox edge
+    fi = np.concatenate([rng.uniform(45.25, 47.0, int(n * 0.8)),
+                         rng.uniform(40.0, 50.0, int(n * 0.1)),
+                         np.full(n - int(n * 0.8) - int(n * 0.1), 45.25)])
+    la = np.concatenate([rng.uniform(13.25, 16.75, int(n * 0.8)),
+                         rng.uniform(10.0, 20.0, int(n * 0.1)),
+                         rng.uniform(13.25, 16.75,
+                                     n - int(n * 0.8) - int(n * 0.1))])
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(n), "fi": fi, "la": la}))
+    got = {(r.k, r.station_id): r.dist2 for r in
+           knn_op.radius_join(df, spark, key="k").collect()}
+    pos = knn_op.station_positions(25)
+    dfi = fi[:, None] - pos[None, :, 0]
+    dla = knn_op.LA_FACTOR * (la[:, None] - pos[None, :, 1])
+    d2 = dfi * dfi + dla * dla
+    ks, ss = np.nonzero(d2 <= knn_op.RADIUS_DEFAULT ** 2)
+    exp = {(int(k), int(s)): d2[k, s] for k, s in zip(ks, ss)}
+    assert set(got) == set(exp)
+    for key, v in exp.items():
+        assert got[key] == v  # bit-exact float64
+
+
+def test_bbox_join_random_rects_match_numpy(spark):
+    """bbox_intersects_join on seeded random rectangles (mixed sizes,
+    slivers, grid-edge huggers) equals a NumPy brute force exactly."""
+    from geocoordinateconverter_spark.operators import bboxjoin as bj
+    rng = np.random.default_rng(91)
+    n = 800
+    cx = rng.uniform(13.3, 16.7, n)
+    cy = rng.uniform(45.3, 46.95, n)
+    w = rng.uniform(1e-5, 0.2, n)      # sliver → large
+    h = rng.uniform(1e-5, 0.15, n)
+    import pandas as pd
+    pdf = pd.DataFrame({"k": np.arange(n), "pxmin": cx - w,
+                        "pymin": cy - h, "pxmax": cx + w,
+                        "pymax": cy + h})
+    got = {(r.k, r.mun_id): (r.ox, r.oy) for r in
+           bj.bbox_intersects_join(spark.createDataFrame(pdf),
+                                   spark).collect()}
+    mun = np.array([r[1:] for r in bj.mun_bbox_rows(20)])
+    ox = (np.minimum(pdf["pxmax"].to_numpy()[:, None], mun[None, :, 2])
+          - np.maximum(pdf["pxmin"].to_numpy()[:, None], mun[None, :, 0]))
+    oy = (np.minimum(pdf["pymax"].to_numpy()[:, None], mun[None, :, 3])
+          - np.maximum(pdf["pymin"].to_numpy()[:, None], mun[None, :, 1]))
+    ks, ms = np.nonzero((ox > 0) & (oy > 0))
+    exp = {(int(k), int(m)): (ox[k, m], oy[k, m]) for k, m in zip(ks, ms)}
+    assert set(got) == set(exp) and len(exp) > 100
+    for key, v in exp.items():
+        assert got[key] == v  # bit-exact float64 extents

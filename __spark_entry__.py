@@ -489,7 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_radius(spark, sf_dir):
         _register(spark, sf_dir)
         pts = spark.sql(f"SELECT * FROM {_src_wgs('o_orderkey', 'orders')}")
-        return (knn_op.radius_join(pts, spark, key="k")
+        return (knn_op.radius_join(pts, spark)
                 .select("k", "station_id", "dist2"))
     q["radius_join_stations"] = q_radius
 

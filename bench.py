@@ -113,7 +113,7 @@ def q_knn(spark, sf_dir):
 def q_radius(spark, sf_dir):
     from geocoordinateconverter_spark.operators import knn as knn_op
     pts = spark.sql(f"SELECT * FROM {entrymod.SRC_WGS_ORDERS}")
-    return knn_op.radius_join(pts, spark, key="k")
+    return knn_op.radius_join(pts, spark)
 
 
 def q_bbox(spark, sf_dir):

@@ -43,8 +43,8 @@ from ..functions.sqlgen import mix01 as _mix_sql
 from . import pip as pip_op
 
 PARCEL_RES = 4
-LA_SPAN = BBOX_LA_MAX - BBOX_LA_MIN
-FI_SPAN = BBOX_FI_MAX - BBOX_FI_MIN
+LA_SPAN = cells.LA_SPAN
+FI_SPAN = cells.FI_SPAN
 
 
 def parcels_sql(key_expr: str, table: str) -> str:

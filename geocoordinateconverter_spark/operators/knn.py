@@ -249,7 +249,7 @@ def knn_oracle_sql(points_src: str, key: str, k: int = 3,
 RADIUS_DEFAULT = 0.1  # metric units of _dist2's sqrt (≈11 km N-S)
 
 
-def radius_join(points: DataFrame, spark: SparkSession, key: str,
+def radius_join(points: DataFrame, spark: SparkSession,
                 fi_col: str = "fi", la_col: str = "la",
                 radius: float = RADIUS_DEFAULT, n_st: int = 25,
                 method: str = "cellprune") -> DataFrame:

@@ -33,33 +33,47 @@ CMS_W = 64         # buckets per row
 CMS_THRESHOLD = 60  # heavy-hitter cutoff on the ESTIMATE
 
 
-def _bucket_sql(i: int, tok_expr: str) -> str:
-    """Spark-dialect 60-bit md5 carve → bucket (row-seeded)."""
-    return (f"cast(conv(substring(md5(concat('r{i}:', {tok_expr})), 1, 15), "
-            f"16, 10) as bigint) % {CMS_W}")
+def _bucket_col(i: int, tok) -> "F.Column":
+    """Row-seeded bucket via the repo-standard 60-bit md5 carve
+    (textdedup.hash60_col — ONE carve definition repo-wide)."""
+    from .textdedup import hash60_col
+    return hash60_col(F.concat(F.lit(f"r{i}:"), tok)) % CMS_W
 
 
 def _bucket_duck(i: int, tok_expr: str) -> str:
-    """DuckDB twin of :func:`_bucket_sql` (same 60-bit carve)."""
-    return (f"cast(concat('0x', substr(md5(concat('r{i}:', {tok_expr})), "
-            f"1, 15)) as bigint) % {CMS_W}")
+    """DuckDB twin (textdedup.hash60_sql, same single definition)."""
+    from .textdedup import hash60_sql
+    seeded = f"concat('r{i}:', {tok_expr})"
+    return f"{hash60_sql(seeded)} % {CMS_W}"
 
 
 def cms_heavy_hitters(docs: DataFrame, d: int = CMS_D,
-                      threshold: int = CMS_THRESHOLD) -> DataFrame:
+                      threshold: int = CMS_THRESHOLD,
+                      cache: list | None = None) -> DataFrame:
     """(token, est_n, exact_n, overcount) for every token whose CMS
     estimate reaches ``threshold``; est_n = min over the d row
     counters, overcount = est_n - exact_n ≥ 0 (the CMS guarantee,
-    asserted in pytest)."""
+    asserted in pytest).
+
+    The tokenize pass feeds BOTH the grid build (collected eagerly)
+    and the exact-count report side.  Pass a ``cache`` list (simhash
+    contract) to persist the token stream across the two: the persist
+    is appended for the CALLER to unpersist — never leaked into a
+    long-lived session by default."""
     from .textdedup import tokens
     toks = tokens(docs).select("tok")
+    if cache is not None:
+        toks = toks.persist()
+        cache.append(toks)
     # sketch build: explode d seeded rows, ONE shuffle of ≤ d·w
     # partials per task (map-side combine does the compression)
     rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i")
-    arms = " ".join(f"WHEN {i} THEN ({_bucket_sql(i, 'tok')})"
-                    for i in range(d))
+    bucket = F.lit(None).cast("bigint")
+    for i in range(d):
+        bucket = F.when(F.col("i") == i,
+                        _bucket_col(i, F.col("tok"))).otherwise(bucket)
     grid = (toks.select("tok", rows)
-            .select("i", F.expr(f"CASE i {arms} END").alias("bucket"))
+            .select("i", bucket.alias("bucket"))
             .groupBy("i", "bucket").agg(F.count("*").alias("c")))
     # exact counts (fixture-scale ground truth; at corpus scale this
     # side is filtered to the shortlist's tokens first)
@@ -76,7 +90,7 @@ def cms_heavy_hitters(docs: DataFrame, d: int = CMS_D,
         g = spark.createDataFrame(
             [(int(r.bucket), int(r.c)) for r in grid_rows if r.i == i],
             f"b{i} bigint, c{i} bigint")
-        est = (est.withColumn(f"b{i}", F.expr(_bucket_sql(i, "tok")))
+        est = (est.withColumn(f"b{i}", _bucket_col(i, F.col("tok")))
                .join(F.broadcast(g), f"b{i}").drop(f"b{i}"))
     est_n = F.least(*[F.col(f"c{i}") for i in range(d)])
     return (est.withColumn("est_n", est_n)

@@ -131,8 +131,10 @@ def salted_repartition(points: DataFrame, fi: str = "fi", la: str = "la",
 # k-ring neighborhood smoothing (grid convolution over tile counts)
 # ---------------------------------------------------------------------------
 
-_CELL_AXIS = 1 << 28      # ix/iy field width in the cell-id layout
-_CELL_RES = 1 << 56
+from .. import cells as _cells
+
+_CELL_AXIS = 1 << _cells.IX_SHIFT      # ix/iy field width in the cell id
+_CELL_RES = 1 << _cells.RES_SHIFT
 
 
 def kring_smooth(points: DataFrame, res: int = 5,

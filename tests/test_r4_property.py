@@ -295,7 +295,7 @@ def test_radius_join_random_points_match_numpy(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"k": np.arange(n), "fi": fi, "la": la}))
     got = {(r.k, r.station_id): r.dist2 for r in
-           knn_op.radius_join(df, spark, key="k").collect()}
+           knn_op.radius_join(df, spark).collect()}
     pos = knn_op.station_positions(25)
     dfi = fi[:, None] - pos[None, :, 0]
     dla = knn_op.LA_FACTOR * (la[:, None] - pos[None, :, 1])

@@ -134,10 +134,10 @@ def test_radius_join_methods_agree(spark, pts_df):
         "k long, fi double, la double, h double")
     pts = pts_df.unionByName(extra)
     cols = ["k", "station_id", "dist2"]
-    a = (knn_op.radius_join(pts, spark, key="k", method="broadcast")
+    a = (knn_op.radius_join(pts, spark, method="broadcast")
          .select(*cols).toPandas()
          .sort_values(["k", "station_id"]).reset_index(drop=True))
-    b = (knn_op.radius_join(pts, spark, key="k", method="cellprune")
+    b = (knn_op.radius_join(pts, spark, method="cellprune")
          .select(*cols).toPandas()
          .sort_values(["k", "station_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)  # exact, incl. float64 dist2

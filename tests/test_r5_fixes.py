@@ -208,3 +208,38 @@ def test_pq_trained_beats_grid_adc_recall(spark):
     r_grid, r_trained = adc_recall(grid), adc_recall(trained)
     assert r_trained > r_grid, (r_trained, r_grid)
     assert r_trained >= r_grid + 0.1  # a real lift, not noise
+
+
+def test_ivf_trained_beats_grid_cell_recall(spark):
+    """Same demonstration for the COARSE quantizer: single-probe IVF
+    recall@5 on the clustered fixture with 3-iteration trained
+    centroids must beat the fixed grid centroids."""
+    from geocoordinateconverter_spark.operators import similarity as sim
+    emb = sim.clustered_embeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    pdf = emb.orderBy("vec_id").toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+
+    def ivf_recall(C):
+        score = V @ C.T - 0.5 * (C * C).sum(axis=1)
+        assign = score.argmax(axis=1)
+        norms = np.sqrt((V * V).sum(axis=1))
+        hit = tot = 0
+        for qi in np.nonzero(ids % 50 == 0)[0]:
+            cand = np.nonzero(ids != ids[qi])[0]
+            cos = (V[cand] @ V[qi]) / (norms[cand] * norms[qi])
+            exact5 = set(ids[cand[np.lexsort((ids[cand], -cos))][:5]])
+            inc = cand[assign[cand] == assign[qi]]
+            cos_c = (V[inc] @ V[qi]) / (norms[inc] * norms[qi])
+            got5 = set(ids[inc[np.lexsort((ids[inc], -cos_c))][:5]])
+            hit += len(exact5 & got5)
+            tot += 5
+        return hit / tot
+
+    grid = np.array([[sim.centroid_coef(c, d) for d in range(sim.DIM)]
+                     for c in range(sim.N_CLUSTERS)])
+    _, Cq = sim.kmeans_replay_exact(V, n_iter=3)
+    r_grid = ivf_recall(grid)
+    r_trained = ivf_recall(Cq.astype(np.float64) / sim.KM_SCALE)
+    assert r_trained > r_grid, (r_trained, r_grid)

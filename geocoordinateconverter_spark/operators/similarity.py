@@ -135,26 +135,15 @@ def brute_force_topk(emb: DataFrame, k: int = 5,
                      query_filter: str = "vec_id % 50 = 0") -> DataFrame:
     """Exact top-k cosine neighbours for the filtered query vectors.
 
-    Plan: broadcast the query set (small) against the corpus — the big
-    side streams through codegen, one window for ranking.
+    Plan (r6): one Arrow map pass over the corpus scores whole batches
+    against the broadcast query matrix with the exact d-ascending fold
+    (bit-identical to the r5 unrolled-expression BNLJ, which evaluated
+    192 element_at casts per pair), pre-selects per task every row that
+    can still reach the global top-k, and the window ranks the few
+    surviving candidates.  See the kernel section below.
     """
-    # norms hoisted to per-vector projections (n vectors, not n·q pairs);
-    # values are bit-identical to inline recomputation, so the oracle's
-    # inline form still matches exactly
-    emb_n = emb.withColumn("c_n2", norm2_col("embedding"))
-    q = emb_n.filter(query_filter).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
-        F.col("c_n2").alias("q_n2"))
-    cand = (emb_n.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-            .withColumn("dot", dot_col("q_emb", "embedding"))
-            .withColumn("cos", F.col("dot")
-                        / F.sqrt(F.col("q_n2") * F.col("c_n2"))))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
-                                           F.col("vec_id").asc())
-    return (cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q_id", "vec_id", "rk",
-                    F.round("cos", 9).alias("cos_sim")))
+    return _rank_topk(_topk_candidates(emb, "brute", k, query_filter),
+                      k, "cos_sim")
 
 
 def brute_force_topk_sql(k: int = 5,
@@ -195,22 +184,11 @@ def lsh_topk(emb: DataFrame, k: int = 5,
     scale path — candidate generation is ONE hash-equi-join on the
     bucket id (vs the brute-force cross join); recall is partial by
     design (classic LSH trade-off), and the oracle replicates the same
-    bucket rule so results still compare exactly."""
-    b = emb.withColumn("bucket", lsh_bucket_fold_col("embedding")) \
-           .withColumn("n2", norm2_col("embedding"))
-    q = b.filter(query_filter).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"), F.col("n2").alias("q_n2"))
-    cand = (b.join(F.broadcast(q),
-                   (F.col("bucket") == F.col("q_bucket"))
-                   & (F.col("vec_id") != F.col("q_id")))
-            .withColumn("cos", dot_col("q_emb", "embedding")
-                        / F.sqrt(F.col("q_n2") * F.col("n2"))))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
-                                           F.col("vec_id").asc())
-    return (cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q_id", "vec_id", "rk", F.round("cos", 9).alias("cos_sim")))
+    bucket rule so results still compare exactly.  r6: candidate
+    generation + scoring run in the Arrow kernel (bucket mask instead
+    of the bucket equi-join), bit-identical output."""
+    return _rank_topk(_topk_candidates(emb, "lsh", k, query_filter),
+                      k, "cos_sim")
 
 
 def lsh_topk_sql(k: int = 5, query_filter: str = "vec_id % 50 = 0") -> str:
@@ -363,24 +341,12 @@ def ivf_assign_sql(table: str, id_col: str = "vec_id") -> str:
 
 def ivf_topk(emb: DataFrame, k: int = 5,
              query_filter: str = "vec_id % 50 = 0") -> DataFrame:
-    """IVF-flat top-k: one equi-join on the quantizer cell, exact
-    cosine rerank inside the cell."""
-    b = (emb.withColumn("cluster", ivf_cluster_udf()(F.col("embedding")))
-         .withColumn("n2", norm2_col("embedding")))
-    q = b.filter(query_filter).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
-        F.col("cluster").alias("q_cluster"), F.col("n2").alias("q_n2"))
-    cand = (b.join(F.broadcast(q),
-                   (F.col("cluster") == F.col("q_cluster"))
-                   & (F.col("vec_id") != F.col("q_id")))
-            .withColumn("cos", dot_col("q_emb", "embedding")
-                        / F.sqrt(F.col("q_n2") * F.col("n2"))))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
-                                           F.col("vec_id").asc())
-    return (cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q_id", "vec_id", "rk",
-                    F.round("cos", 9).alias("cos_sim")))
+    """IVF-flat top-k: candidates limited to the query's quantizer
+    cell, exact cosine rerank inside the cell.  r6: cell assignment +
+    scoring fused into the Arrow kernel (cell-equality mask replaces
+    the equi-join); same float64s, bit-identical output."""
+    return _rank_topk(_topk_candidates(emb, "ivf", k, query_filter),
+                      k, "cos_sim")
 
 
 def ivf_topk_sql(k: int = 5, query_filter: str = "vec_id % 50 = 0") -> str:
@@ -430,30 +396,12 @@ def ivf_nprobe_topk(emb: DataFrame, k: int = 5, nprobe: int = 3,
                     query_filter: str = "vec_id % 50 = 0") -> DataFrame:
     """IVF-flat with multi-cell probing (VERDICT r2 #5): each query
     searches its ``nprobe`` best cells instead of 1 — recall rises at
-    the cost of one probe-cell explode on the (small, broadcast) query
-    side; the corpus side is untouched and the candidate join stays a
-    single hash equi-join on the cell id (cells are disjoint per query,
-    so no candidate dedup is needed)."""
-    corpus = (emb.withColumn("cluster", ivf_cluster_udf()(F.col("embedding")))
-              .withColumn("n2", norm2_col("embedding")))
-    q = (emb.filter(query_filter)
-         .withColumn("probes", ivf_probe_udf(nprobe)(F.col("embedding")))
-         .withColumn("n2", norm2_col("embedding"))
-         .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"),
-                 F.col("n2").alias("q_n2"),
-                 F.explode("probes").alias("q_cluster")))
-    cand = (corpus.join(F.broadcast(q),
-                        (F.col("cluster") == F.col("q_cluster"))
-                        & (F.col("vec_id") != F.col("q_id")))
-            .withColumn("cos", dot_col("q_emb", "embedding")
-                        / F.sqrt(F.col("q_n2") * F.col("n2"))))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
-                                           F.col("vec_id").asc())
-    return (cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q_id", "vec_id", "rk",
-                    F.round("cos", 9).alias("cos_sim")))
+    the cost of a probe-membership mask on the broadcast query side;
+    the corpus side is one Arrow map pass (r6 kernel; cells are
+    disjoint per query, so no candidate dedup is needed)."""
+    return _rank_topk(
+        _topk_candidates(emb, "ivf_nprobe", k, query_filter, nprobe),
+        k, "cos_sim")
 
 
 def _ivf_probe_sql(query_filter: str, nprobe: int) -> str:
@@ -1015,22 +963,13 @@ FROM {pq_codes_sql()} pc
 
 def pq_adc_topk(emb: DataFrame, k: int = 5,
                 query_filter: str = "vec_id % 50 = 0") -> DataFrame:
-    """Compressed-domain full scan (declared BNLJ baseline): corpus
-    codes × broadcast query LUTs, 8-term ADC fold per pair."""
-    c = (emb.withColumn("codes", pq_encode_udf()(F.col("embedding")))
-         .select("vec_id", "codes"))
-    q = (emb.filter(query_filter)
-         .select(F.col("vec_id").alias("q_id"),
-                 pq_lut_udf()(F.col("embedding")).alias("q_lut")))
-    cand = (c.crossJoin(F.broadcast(q))
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .withColumn("adc", adc_score_col()))
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
-                                           F.col("vec_id").asc())
-    return (cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q_id", "vec_id", "rk",
-                    F.round("adc", 9).alias("adc_score")))
+    """Compressed-domain full scan (all-pairs semantics): corpus codes
+    vs broadcast query LUTs, 8-term ADC fold per pair — r6: the fold
+    runs as a NumPy gather in the Arrow kernel with task-local top-k
+    preselection; every pair is still scored (the full-scan semantics),
+    bit-identically."""
+    return _rank_topk(_topk_candidates(emb, "pq_adc", k, query_filter),
+                      k, "adc_score")
 
 
 def pq_adc_topk_sql(k: int = 5,
@@ -1048,29 +987,14 @@ WHERE rk <= {k}
 
 def ivfpq_topk(emb: DataFrame, k: int = 5, nprobe: int = 3,
                query_filter: str = "vec_id % 50 = 0") -> DataFrame:
-    """IVF-PQ: candidates from the coarse-quantizer cell equi-join
-    (nprobe cells per query, probe explode on the broadcast query side
-    only), scored by the ADC fold over 8-byte codes — the corpus path
-    reads no raw vectors after ingest."""
-    corpus = (emb
-              .withColumn("cluster", ivf_cluster_udf()(F.col("embedding")))
-              .withColumn("codes", pq_encode_udf()(F.col("embedding")))
-              .select("vec_id", "cluster", "codes"))
-    q = (emb.filter(query_filter)
-         .withColumn("probes", ivf_probe_udf(nprobe)(F.col("embedding")))
-         .withColumn("q_lut", pq_lut_udf()(F.col("embedding")))
-         .select(F.col("vec_id").alias("q_id"), "q_lut",
-                 F.explode("probes").alias("q_cluster")))
-    cand = (corpus.join(F.broadcast(q),
-                        (F.col("cluster") == F.col("q_cluster"))
-                        & (F.col("vec_id") != F.col("q_id")))
-            .withColumn("adc", adc_score_col()))
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
-                                           F.col("vec_id").asc())
-    return (cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q_id", "vec_id", "rk",
-                    F.round("adc", 9).alias("adc_score")))
+    """IVF-PQ: candidates limited to the query's ``nprobe`` coarse
+    cells, scored by the ADC fold over 8-byte codes — the corpus path
+    reads no raw vectors after ingest.  r6: coarse assignment, encode
+    and the ADC gather fused into one Arrow map pass (probe-membership
+    mask replaces the cell equi-join); bit-identical output."""
+    return _rank_topk(
+        _topk_candidates(emb, "ivfpq", k, query_filter, nprobe),
+        k, "adc_score")
 
 
 def ivfpq_topk_sql(k: int = 5, nprobe: int = 3,
@@ -1140,21 +1064,11 @@ def ivfpq_rerank_topk(emb: DataFrame, k: int = 5, nprobe: int = 3,
     broadcast-sized refine read at any corpus scale), and exact cosine
     reranks to top-k.  Recovers the quantization error the codes
     introduce; the only loss left is coarse-cell miss (the
-    ivf_nprobe bound)."""
-    corpus = (emb
-              .withColumn("cluster", ivf_cluster_udf()(F.col("embedding")))
-              .withColumn("codes", pq_encode_udf()(F.col("embedding")))
-              .select("vec_id", "cluster", "codes"))
-    q = (emb.filter(query_filter)
-         .withColumn("probes", ivf_probe_udf(nprobe)(F.col("embedding")))
-         .withColumn("q_lut", pq_lut_udf()(F.col("embedding")))
-         .select(F.col("vec_id").alias("q_id"), "q_lut",
-                 F.explode("probes").alias("q_cluster")))
-    cand = (corpus.join(F.broadcast(q),
-                        (F.col("cluster") == F.col("q_cluster"))
-                        & (F.col("vec_id") != F.col("q_id")))
-            .withColumn("adc", adc_score_col()))
-    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
+    ivf_nprobe bound).  r6: the ADC shortlist stage runs in the Arrow
+    kernel (task-local top-``shortlist`` preselection), the exact
+    refine below is unchanged."""
+    cand = _topk_candidates(emb, "ivfpq", shortlist, query_filter, nprobe)
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("score").desc(),
                                                F.col("vec_id").asc())
     short = (cand.withColumn("ark", F.row_number().over(w_adc))
              .filter(F.col("ark") <= shortlist)
@@ -1311,6 +1225,225 @@ def pq_train_replay_exact(V: np.ndarray, n_iter: int = 3):
                     Xm = Q[msk, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
                     Cq[m, j] = np.floor(Xm.sum(axis=0) / msk.sum() + 0.5)
     return codes, Cq
+
+
+# ---------------------------------------------------------------------------
+# Arrow candidate-generation kernel (r6 optimization round).
+#
+# Every top-k operator above ranks candidates by an EXACT, order-fixed
+# float64 score (cosine via the d-ascending left fold, ADC via the
+# m-ascending table fold).  Through r5 those scores were evaluated as
+# unrolled Catalyst expressions per candidate PAIR — for the declared
+# brute-force baseline that is a BroadcastNestedLoopJoin evaluating
+# 192 `element_at` casts per pair (116 s at the driver's sf1.0).  The
+# guide's §4.2 move: hand whole batches to NumPy.  The kernel below
+# computes the SAME fold (same operation order, same IEEE ops — NumPy
+# elementwise ops neither fuse nor reassociate, the precedent
+# established by ivf_cluster_udf/_pq_scores_np and pinned by pytest)
+# over (batch × query) score matrices, pre-selects per task every row
+# that can still reach the global top-k (score >= the task-local kth
+# score, so exact ties survive), and emits only those candidate rows.
+# The global row_number window then ranks a few hundred rows instead
+# of n·q pairs.  Results are bit-identical: scores are the same
+# float64s, and per-partition top-k union ⊇ global top-k is exact
+# selection, not approximation.
+#
+# Scale shape: the corpus side stays a single map pass (mapInArrow),
+# queries/LUTs ride a broadcast (q ≈ n/50 · 0.5 KB), the shuffle
+# carries ≤ tasks·q·k candidate rows.  The local single-file parquet
+# scan is round-robin split to defaultParallelism first (5 MB at the
+# fixture; a real multi-split scan skips that branch).
+# ---------------------------------------------------------------------------
+
+
+def _emb_f64(col) -> np.ndarray:
+    """pyarrow list<float> column → (n, DIM) float64 (exact cast)."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(len(col), -1)
+
+
+def _fold_dot_mat(X: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(n, q) score matrix Σ_d X[:,d]·Q[:,d] with the d-ascending
+    left-fold order of :func:`dot_col` (bit-identical float64)."""
+    S = np.multiply.outer(X[:, 0], Q[:, 0])
+    for d in range(1, X.shape[1]):
+        S += np.multiply.outer(X[:, d], Q[:, d])
+    return S
+
+
+def _fold_norm2_np(X: np.ndarray) -> np.ndarray:
+    """(n,) Σ_d X[:,d]² in the fold order of :func:`norm2_col`."""
+    acc = X[:, 0] * X[:, 0]
+    for d in range(1, X.shape[1]):
+        acc = acc + X[:, d] * X[:, d]
+    return acc
+
+
+def _ivf_scores_np(X: np.ndarray) -> np.ndarray:
+    """(n, N_CLUSTERS) quantizer scores — the exact fold of
+    :func:`ivf_cluster_udf` (shared so the kernel's cell assignment is
+    the same float64s as the UDF's and the oracle's)."""
+    C = np.array([[centroid_coef(c, d) for d in range(DIM)]
+                  for c in range(N_CLUSTERS)])
+    H = np.array([_centroid_halfnorm(c) for c in range(N_CLUSTERS)])
+    scores = np.empty((X.shape[0], N_CLUSTERS))
+    for c in range(N_CLUSTERS):
+        acc = C[c, 0] * X[:, 0]
+        for d in range(1, DIM):  # fold order == ivf_score_sql
+            acc = acc + C[c, d] * X[:, d]
+        scores[:, c] = acc - H[c]
+    return scores
+
+
+def _lsh_buckets_np(X: np.ndarray) -> np.ndarray:
+    """(n,) int64 bucket ids — the exact projection fold of
+    :func:`plane_proj_col` (d-ascending; sign test unaffected by the
+    fold variants' ±0.0 seeds)."""
+    out = np.zeros(X.shape[0], dtype=np.int64)
+    for p in range(N_PLANES):
+        acc = plane_coef(p, 0) * X[:, 0]
+        for d in range(1, DIM):
+            acc = acc + plane_coef(p, d) * X[:, d]
+        out += np.where(acc > 0.0, np.int64(1 << p), np.int64(0))
+    return out
+
+
+def _pq_codes_np(X: np.ndarray) -> np.ndarray:
+    """(n, PQ_M) int codes — exact twin of :func:`pq_encode_udf`."""
+    C = pq_codebook()
+    H = np.array([[_pq_halfnorm(m, j) for j in range(PQ_K)]
+                  for m in range(PQ_M)])
+    codes = np.empty((X.shape[0], PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        codes[:, m] = _pq_scores_np(X, C, H, m).argmax(axis=1)
+    return codes
+
+
+def _pq_lut_np(X: np.ndarray) -> np.ndarray:
+    """(n, PQ_M·PQ_K) ADC tables — exact twin of :func:`pq_lut_udf`."""
+    C = pq_codebook()
+    H = np.array([[_pq_halfnorm(m, j) for j in range(PQ_K)]
+                  for m in range(PQ_M)])
+    lut = np.empty((X.shape[0], PQ_M * PQ_K))
+    for m in range(PQ_M):
+        lut[:, m * PQ_K:(m + 1) * PQ_K] = _pq_scores_np(X, C, H, m)
+    return lut
+
+
+def _adc_scores_np(codes: np.ndarray, LUT: np.ndarray) -> np.ndarray:
+    """(n, q) ADC scores: m-ascending gather fold over the code table,
+    seeded 0.0 — the exact order of :func:`adc_score_col`."""
+    n, q = codes.shape[0], LUT.shape[0]
+    S = np.zeros((n, q))
+    for m in range(PQ_M):
+        S += LUT[:, m * PQ_K + codes[:, m]].T
+    return S
+
+
+def _probes_np(X: np.ndarray, nprobe: int) -> np.ndarray:
+    """(n, nprobe) best cells, score DESC / cell ASC — exact twin of
+    :func:`ivf_probe_udf` (stable argsort)."""
+    return np.argsort(-_ivf_scores_np(X), axis=1, kind="stable")[:, :nprobe]
+
+
+def _split_scan(df: DataFrame):
+    """Round-robin the corpus across defaultParallelism tasks when the
+    local scan arrives in fewer splits (the sandbox single-file case);
+    a real multi-split scan passes through untouched."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def _topk_candidates(emb: DataFrame, mode: str, k: int, query_filter: str,
+                     nprobe: int = 3) -> DataFrame:
+    """(q_id, vec_id, score) candidate rows whose union provably
+    contains every query's global top-k under (score DESC, vec_id ASC):
+    per task, every candidate scoring >= that task's kth-best score for
+    the query is emitted (exact ties included; NaN scores rank first,
+    matching Spark's NaN-greatest ordering)."""
+    spark = emb.sparkSession
+    q_pdf = (emb.filter(query_filter)
+             .select("vec_id", "embedding").toPandas())
+    schema = "q_id long, vec_id long, score double"
+    if len(q_pdf) == 0:
+        return spark.createDataFrame([], schema)
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    payload = {"q_ids": q_ids}
+    if mode in ("brute", "lsh", "ivf", "ivf_nprobe"):
+        payload["q_n2"] = _fold_norm2_np(Q)
+        payload["Q"] = Q
+    if mode == "lsh":
+        payload["q_bucket"] = _lsh_buckets_np(Q)
+    if mode == "ivf":
+        payload["q_cell"] = _ivf_scores_np(Q).argmax(axis=1)
+    if mode in ("ivf_nprobe", "ivfpq"):
+        payload["q_probes"] = _probes_np(Q, nprobe)
+    if mode in ("ivfpq", "pq_adc"):
+        payload["LUT"] = _pq_lut_np(Q)
+    bq = spark.sparkContext.broadcast(payload)
+
+    def kern(batches):
+        import pyarrow as pa
+        p = bq.value
+        q_ids_l = p["q_ids"]
+        nq = len(q_ids_l)
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            X = _emb_f64(batch.column("embedding"))
+            n = len(ids)
+            if n == 0:
+                continue
+            valid = ids[:, None] != q_ids_l[None, :]
+            if mode in ("brute", "lsh", "ivf", "ivf_nprobe"):
+                c_n2 = _fold_norm2_np(X)
+                S = _fold_dot_mat(X, p["Q"])
+                S /= np.sqrt(np.multiply.outer(c_n2, p["q_n2"]))
+            else:
+                codes = _pq_codes_np(X)
+                S = _adc_scores_np(codes, p["LUT"])
+            if mode == "lsh":
+                valid &= (_lsh_buckets_np(X)[:, None]
+                          == p["q_bucket"][None, :])
+            elif mode == "ivf":
+                cells = _ivf_scores_np(X).argmax(axis=1)
+                valid &= cells[:, None] == p["q_cell"][None, :]
+            elif mode in ("ivf_nprobe", "ivfpq"):
+                cells = _ivf_scores_np(X).argmax(axis=1)
+                valid &= (cells[:, None, None]
+                          == p["q_probes"][None, :, :]).any(axis=2)
+            sel = S.copy()
+            sel[np.isnan(sel)] = np.inf  # Spark orders NaN greatest
+            sel[~valid] = -np.inf
+            kk = min(k, n)
+            top = np.argpartition(sel, n - kk, axis=0)[n - kk:]
+            thr = sel[top, np.arange(nq)[None, :]].min(axis=0)
+            emit = valid & (sel >= thr[None, :])
+            rows, cols = np.nonzero(emit)
+            if len(rows) == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(q_ids_l[cols]), pa.array(ids[rows]),
+                 pa.array(S[rows, cols])],
+                names=["q_id", "vec_id", "score"])
+
+    src = _split_scan(emb.select("vec_id", "embedding"))
+    return src.mapInArrow(kern, schema)
+
+
+def _rank_topk(cand: DataFrame, k: int, out_name: str) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "rk",
+                    F.round("score", 9).alias(out_name)))
 
 
 def _pq_c0_sql() -> str:

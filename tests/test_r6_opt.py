@@ -1,0 +1,114 @@
+"""r6 optimization round: the Arrow ANN candidate kernel must be
+bit-identical to the r5 expression formulations it replaced.
+
+Two layers of evidence:
+
+* fold-level — the NumPy rank-1-update fold produces the same float64s
+  as a strictly sequential per-pair left fold (NumPy elementwise ops
+  neither fuse nor reassociate);
+* operator-level — each rewritten top-k operator's full output equals
+  the r5 join/window formulation, rebuilt here verbatim as the
+  reference twin, on the smoke fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from geocoordinateconverter_spark.operators import similarity as sim
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_fold_dot_mat_bitwise():
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((37, sim.DIM)).astype(np.float32).astype(np.float64)
+    Q = rng.standard_normal((11, sim.DIM)).astype(np.float32).astype(np.float64)
+    S = sim._fold_dot_mat(X, Q)
+    for i in range(X.shape[0]):
+        for j in range(Q.shape[0]):
+            acc = X[i, 0] * Q[j, 0]
+            for d in range(1, sim.DIM):
+                acc = acc + X[i, d] * Q[j, d]
+            assert S[i, j] == acc  # bitwise: same fold order, same IEEE ops
+    n2 = sim._fold_norm2_np(X)
+    for i in range(X.shape[0]):
+        acc = X[i, 0] * X[i, 0]
+        for d in range(1, sim.DIM):
+            acc = acc + X[i, d] * X[i, d]
+        assert n2[i] == acc
+
+
+def _legacy_brute(emb, k=5, query_filter="vec_id % 50 = 0"):
+    emb_n = emb.withColumn("c_n2", sim.norm2_col("embedding"))
+    q = emb_n.filter(query_filter).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("c_n2").alias("q_n2"))
+    cand = (emb_n.alias("c")
+            .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+            .withColumn("dot", sim.dot_col("q_emb", "embedding"))
+            .withColumn("cos", F.col("dot")
+                        / F.sqrt(F.col("q_n2") * F.col("c_n2"))))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "rk",
+                    F.round("cos", 9).alias("cos_sim")))
+
+
+def _legacy_ivfpq(emb, k=5, nprobe=3, query_filter="vec_id % 50 = 0"):
+    corpus = (emb
+              .withColumn("cluster", sim.ivf_cluster_udf()(F.col("embedding")))
+              .withColumn("codes", sim.pq_encode_udf()(F.col("embedding")))
+              .select("vec_id", "cluster", "codes"))
+    q = (emb.filter(query_filter)
+         .withColumn("probes", sim.ivf_probe_udf(nprobe)(F.col("embedding")))
+         .withColumn("q_lut", sim.pq_lut_udf()(F.col("embedding")))
+         .select(F.col("vec_id").alias("q_id"), "q_lut",
+                 F.explode("probes").alias("q_cluster")))
+    cand = (corpus.join(F.broadcast(q),
+                        (F.col("cluster") == F.col("q_cluster"))
+                        & (F.col("vec_id") != F.col("q_id")))
+            .withColumn("adc", sim.adc_score_col()))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "rk",
+                    F.round("adc", 9).alias("adc_score")))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("qf", ["vec_id % 50 = 0", "vec_id % 37 = 1"])
+def test_brute_force_kernel_equals_legacy(spark, qf):
+    emb = _emb(spark)
+    new = _rows(sim.brute_force_topk(emb, k=5, query_filter=qf))
+    old = _rows(_legacy_brute(emb, k=5, query_filter=qf))
+    assert new == old and len(new) > 0
+
+
+def test_ivfpq_kernel_equals_legacy(spark):
+    emb = _emb(spark)
+    new = _rows(sim.ivfpq_topk(emb, k=5, nprobe=3))
+    old = _rows(_legacy_ivfpq(emb, k=5, nprobe=3))
+    assert new == old and len(new) > 0
+
+
+def test_kernel_invariant_to_partitioning(spark):
+    # per-task preselection must not leak into the result: 1 partition
+    # vs many partitions produce identical rows
+    emb = _emb(spark)
+    one = _rows(sim.ivf_nprobe_topk(emb.coalesce(1), k=5, nprobe=3))
+    many = _rows(sim.ivf_nprobe_topk(emb.repartition(13), k=5, nprobe=3))
+    assert one == many and len(one) > 0

@@ -38,9 +38,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Tables the sandbox generator writes as ONE parquet row group: a row
+# group is the minimum split unit, so their scans arrive as a single
+# non-splittable task and would serialize every downstream map stage
+# (the text kernels, PQ encode, …) no matter the core count — the same
+# pathology bench.py's flagship already documents and round-robins away
+# for its key column.  A real corpus scan arrives in thousands of row
+# groups, so the gate below (only when the scan has fewer splits than
+# the session's parallelism) never fires at scale; locally it moves the
+# few MB of text/vectors across one round-robin exchange once per plan.
+_SINGLE_ROWGROUP_TABLES = {"documents", "embeddings"}
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    par = spark.sparkContext.defaultParallelism
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if (t in _SINGLE_ROWGROUP_TABLES
+                and df.rdd.getNumPartitions() < par):
+            df = df.repartition(par)
+        df.createOrReplaceTempView(t)
 
 
 # Integer key column spanning the largest table: lineitem rows keyed by

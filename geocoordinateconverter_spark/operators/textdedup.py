@@ -96,18 +96,80 @@ TOKENS_SQL = """
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
-def minhash_sig_array(docs: DataFrame) -> DataFrame:
+def _flatten_tok_series(toks: "pd.Series"):
+    """(flat object array, segment-start offsets) for a Series of
+    token lists — shared by the hash-memoized Arrow kernels."""
+    n = len(toks)
+    arrs = [np.asarray(x, dtype=object) for x in toks]
+    lens = np.fromiter((len(a) for a in arrs), np.int64, n)
+    flat = np.concatenate(arrs) if n else np.empty(0, dtype=object)
+    offs = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return flat, offs, lens
+
+
+def _hash60_batch(flat: np.ndarray, prefixes: list[str] | None):
+    """hash60 of every token in ``flat`` — md5 computed ONCE per
+    batch-distinct token (np.unique), then gathered back through the
+    inverse index.  Values are the exact conv(substr(md5(x),1,15),16,10)
+    integers (md5 is md5; the 60-bit carve is the same hex prefix), so
+    this is bit-identical to :func:`hash60_col` while exploiting token
+    redundancy: cost is md5 × batch-vocabulary instead of md5 × token
+    stream (Zipf makes that a large constant even at web-corpus vocab;
+    memory is bounded by the batch's distinct set — no cross-task
+    state).  Returns (T,) for ``prefixes=None`` else (T, P)."""
+    import hashlib
+    uniq, inv = np.unique(flat, return_inverse=True)
+    if prefixes is None:
+        H = np.fromiter(
+            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+             for t in uniq), np.int64, len(uniq))
+        return H[inv]
+    H = np.empty((len(uniq), len(prefixes)), np.int64)
+    for i, t in enumerate(uniq):
+        for p, pre in enumerate(prefixes):
+            H[i, p] = int(hashlib.md5(
+                (pre + t).encode("utf-8")).hexdigest()[:15], 16)
+    return H[inv]
+
+
+def _minhash_sig_kernel():
+    """array<bigint>[K_MINHASH] per token list: per-batch-unique md5,
+    per-doc column-wise min (min over the multiset == min over the
+    distinct set, so the array_distinct of the expression twin is
+    semantically redundant here)."""
+    prefixes = [f"{p}:" for p in range(K_MINHASH)]
+
+    @pandas_udf("array<bigint>")
+    def _udf(toks: pd.Series) -> pd.Series:
+        if len(toks) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        flat, offs, _ = _flatten_tok_series(toks)
+        vals = _hash60_batch(flat, prefixes)           # (T, K)
+        sigs = np.minimum.reduceat(vals, offs, axis=0)  # (n, K)
+        return pd.Series([r.tolist() for r in sigs])
+
+    return _udf
+
+
+def minhash_sig_array(docs: DataFrame, kernel: bool = True) -> DataFrame:
     """(doc_id, sigs array<bigint>[K_MINHASH]) — MAP-ONLY (r4).
 
-    The whole signature computation stays inside the row: one codegen
-    lambda builds the distinct-token array, then one ``array_min ∘
-    transform`` per permutation takes the min hash.  Same K×T md5 work
-    as the exploded form, but zero row inflation and zero shuffle —
-    the r3 plan materialized tokens×K rows through a
-    groupBy(doc_id, perm) exchange, pure overhead at a 100 TB token
-    stream.  sigs[p+1] == the exploded form's (perm=p).sig exactly
-    (min over the same multiset of identical md5-carved hashes)."""
-    toks = "array_distinct(filter(split(text, ' '), t -> t <> ''))"
+    ``kernel=True`` (r6): one Arrow crossing; the md5 work runs once
+    per batch-distinct token (:func:`_hash60_batch`) instead of once
+    per (token, permutation) — measured 16.7 s → ~2 s at sf1.0, zero
+    plan change (still no Exchange).  ``kernel=False`` is the r4
+    codegen twin (one ``array_min ∘ transform`` per permutation),
+    kept as the equivalence reference; both match the exploded r3
+    form exactly (min over the same multiset of identical md5-carved
+    hashes), pytest-asserted."""
+    toks_nd = "filter(split(text, ' '), t -> t <> '')"
+    if kernel:
+        return (docs.select("doc_id", F.expr(toks_nd).alias("toks"))
+                .filter(F.size("toks") > 0)
+                .select("doc_id",
+                        _minhash_sig_kernel()(F.col("toks")).alias("sigs")))
+    toks = f"array_distinct({toks_nd})"
     sig_exprs = [
         F.expr(f"array_min(transform(toks, t -> cast(conv(substr("
                f"md5(concat('{p}:', t)), 1, 15), 16, 10) as bigint)))")
@@ -282,7 +344,9 @@ _TOK_HASH_EXPR = (
 
 
 def _simhash_kernel():
-    """One Arrow crossing: per doc, fold the token-hash array into the
+    """One Arrow crossing: per doc, hash the tokens (md5 once per
+    batch-distinct token — r6, :func:`_hash60_batch`; previously the
+    codegen lambda hashed every token occurrence) and fold into the
     60-bit SimHash.  O(total_tokens) memory (no T×60 matrix — one
     shifted int64 scratch vector per bit, segment-summed with
     ``np.add.reduceat``); exact integer arithmetic throughout, so the
@@ -290,15 +354,12 @@ def _simhash_kernel():
     shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     @pandas_udf("bigint")
-    def _udf(ha: pd.Series) -> pd.Series:
-        n = len(ha)
+    def _udf(toks: pd.Series) -> pd.Series:
+        n = len(toks)
         if n == 0:
             return pd.Series(np.empty(0, np.int64))
-        arrs = [np.asarray(x, dtype=np.int64) for x in ha]
-        lens = np.fromiter((len(a) for a in arrs), np.int64, n)
-        flat = np.concatenate(arrs)
-        offs = np.zeros(n, np.int64)
-        np.cumsum(lens[:-1], out=offs[1:])
+        flat_t, offs, lens = _flatten_tok_series(toks)
+        flat = _hash60_batch(flat_t, None)
         cnt = np.empty((n, SIMHASH_BITS), np.int64)
         tmp = np.empty_like(flat)
         for b in range(SIMHASH_BITS):
@@ -324,10 +385,11 @@ def simhash(docs: DataFrame, kernel: bool = True) -> DataFrame:
     SQL-shaped equivalence twin (the DuckDB oracle keeps that form),
     pytest-asserted identical."""
     if kernel:
-        ha = docs.select("doc_id", F.expr(_TOK_HASH_EXPR).alias("ha"))
-        return (ha.filter(F.size("ha") > 0)
+        tk = docs.select("doc_id", F.expr(
+            "filter(split(text, ' '), t -> t <> '')").alias("tk"))
+        return (tk.filter(F.size("tk") > 0)
                 .select("doc_id",
-                        _simhash_kernel()(F.col("ha")).alias("simhash")))
+                        _simhash_kernel()(F.col("tk")).alias("simhash")))
     t = tokens(docs).withColumn("h", hash60_col(F.col("tok")))
     bits = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
     per_bit = (t.select("doc_id", "h", bits)

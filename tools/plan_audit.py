@@ -67,8 +67,8 @@ def main() -> None:
     from geocoordinateconverter_spark.operators import textdedup as td
     plans["salted_tile_agg (two-stage skew split)"] = formatted(
         tiles.salted_tile_agg(pts, key="k"))
-    plans["minhash signatures (tokenize→hash→min, all codegen)"] = formatted(
-        td.minhash_signatures(spark.table("documents")))
+    plans["minhash signatures (tokenize codegen → Arrow hash kernel)"] = \
+        formatted(td.minhash_signatures(spark.table("documents")))
 
     checks = []
     flag_plan = plans["flagship: derive → t3 → PIP → salted tile agg"]
@@ -90,10 +90,17 @@ def main() -> None:
     salted = plans["salted_tile_agg (two-stage skew split)"]
     checks.append(("salted agg has partial aggregation before shuffle",
                    salted.count("HashAggregate") >= 4))
-    mh = plans["minhash signatures (tokenize→hash→min, all codegen)"]
-    # AQE formatted plans omit codegen-id markers pre-execution, so the
-    # assertable invariant is the absence of any Python eval node
-    checks.append(("minhash has no Python nodes", "EvalPython" not in mh))
+    mh = plans["minhash signatures (tokenize codegen → Arrow hash kernel)"]
+    # r6: signatures hash via ONE vectorized Arrow kernel (md5 once per
+    # batch-distinct token) — the assertable invariants are that the
+    # crossing is Arrow (never per-row BatchEvalPython, asserted
+    # globally above) and that the signature side stays shuffle-free
+    # (the source view's local round-robin split is a RoundRobin
+    # exchange, not a hash/range repartition of the token stream)
+    checks.append(("minhash sig side is map-only (no hash/range Exchange)",
+                   "hashpartitioning" not in mh
+                   and "rangepartitioning" not in mh
+                   and "ArrowEvalPython" in mh))
 
     # ---- global sweep: no BNLJ/Cartesian in ANY registered query ------
     # Exceptions (intentional, documented):

@@ -30,6 +30,8 @@ that family):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -616,11 +618,34 @@ def token_budget_select(docs: DataFrame, pct: int = BUDGET_PCT) -> DataFrame:
         (F.sum("bkt_tok").over(w_all) * pct).alias("budget_x100"))
         .withColumn("budget", F.expr("budget_x100 DIV 100"))
         .drop("budget_x100"))
-    w_in = (Window.partitionBy("score").orderBy("doc_id")
+    # r6 de-skew (VERDICT r5 "what's wrong" #3): score has BOUNDED
+    # cardinality, so one dominant bucket could hold a large corpus
+    # fraction and its running sum became a single hot window
+    # partition.  Sub-bucket each score by contiguous doc_id ranges —
+    # monotone in doc_id, so the within-score prefix sum decomposes
+    # exactly: cum = bkt_off(score) + Σ earlier sub-buckets' totals +
+    # running sum inside (score, sub).  The (score, sub) table stays
+    # broadcast-small (ranges, not rows), every sub-bucket ranks in
+    # parallel, and the output is bit-identical (exact int64 sums over
+    # the same doc_id order).  At fixture scale each score has one
+    # sub-bucket (degenerate, same plan cost); the width is a knob for
+    # the id density of a real corpus.
+    sub_width = int(os.environ.get("SPARK_GRAFT_BUDGET_SUB_WIDTH",
+                                   str(1 << 16)))
+    dsub = d.withColumn("sub", F.expr(f"doc_id DIV {sub_width}"))
+    subtot = dsub.groupBy("score", "sub").agg(F.sum("n_tok").alias("sub_tok"))
+    w_soff = (Window.partitionBy("score").orderBy("sub")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    sub_offs = subtot.select(
+        "score", "sub",
+        F.coalesce(F.sum("sub_tok").over(w_soff), F.lit(0)).alias("sub_off"))
+    w_in = (Window.partitionBy("score", "sub").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = (d.join(F.broadcast(offs), "score")
+    ranked = (dsub.join(F.broadcast(offs), "score")
+              .join(F.broadcast(sub_offs), ["score", "sub"])
               .withColumn("cum_tok",
-                          F.col("bkt_off") + F.sum("n_tok").over(w_in)))
+                          F.col("bkt_off") + F.col("sub_off")
+                          + F.sum("n_tok").over(w_in)))
     return (ranked.filter(F.col("cum_tok") <= F.col("budget"))
             .select("doc_id", "score", "n_tok", "cum_tok"))
 

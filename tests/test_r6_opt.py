@@ -105,6 +105,63 @@ def test_ivfpq_kernel_equals_legacy(spark):
     assert new == old and len(new) > 0
 
 
+def test_cms_shortlist_arm_equals_full(spark):
+    # the corpus-scale arm (threshold filters the token stream before
+    # the exact aggregation) must emit the identical report, and its
+    # plan must place the filter below the exact count (one grouped
+    # aggregate over the shortlist, not the vocabulary)
+    from geocoordinateconverter_spark.operators import sketch as sk
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    full = _rows(sk.cms_heavy_hitters(docs))
+    short = sk.cms_heavy_hitters(docs, shortlist_only=True)
+    assert _rows(short) == full and len(full) > 0
+    plan = short._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("least(") > plan.index("count(1)") or \
+        "Filter" in plan  # filter precedes the exact aggregate
+
+
+def test_pagerank_join_strategies_identical(spark):
+    from geocoordinateconverter_spark.operators import graph as gr
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    a = _rows(gr.pagerank_hosts(orders, spark, rank_broadcast=True))
+    b = _rows(gr.pagerank_hosts(orders, spark, rank_broadcast=False))
+    assert a == b and len(a) == gr.N_HOSTS
+
+
+def test_token_budget_subbucket_decomposition(spark):
+    # the de-skewed two-level running sum must equal the single-window
+    # form at a sub-bucket width small enough to split every score
+    import os
+    from geocoordinateconverter_spark.operators import curation as cu
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = _rows(cu.token_budget_select(docs))
+    os.environ["SPARK_GRAFT_BUDGET_SUB_WIDTH"] = "64"
+    try:
+        split = _rows(cu.token_budget_select(docs))
+    finally:
+        del os.environ["SPARK_GRAFT_BUDGET_SUB_WIDTH"]
+    assert split == base and len(base) > 0
+
+
+def test_decontaminate_kernel_equals_join_form(spark):
+    from geocoordinateconverter_spark.operators import curation as cu
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = _rows(cu.decontaminate(docs, kernel=True))
+    b = _rows(cu.decontaminate(docs, kernel=False))
+    assert a == b and len(a) > 0
+
+
+def test_minhash_sig_kernel_arrow_node(spark):
+    # r6 signature kernel: Arrow crossing, no per-row Python, and no
+    # hash/range exchange introduced by the operator itself
+    from geocoordinateconverter_spark.operators import textdedup as td
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (td.minhash_sig_array(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
 def test_kernel_invariant_to_partitioning(spark):
     # per-task preselection must not leak into the result: 1 partition
     # vs many partitions produce identical rows

@@ -18,6 +18,9 @@ outputs (cells, tri ids, join partners, counts) are integer-exact.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -48,6 +51,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # the session's parallelism) never fires at scale; locally it moves the
 # few MB of text/vectors across one round-robin exchange once per plan.
 _SINGLE_ROWGROUP_TABLES = {"documents", "embeddings"}
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp with registered cleanup (ADVICE r5: repeated driver
+    sweeps used to accumulate one shapefile/stream temp dir per
+    invocation; atexit keeps each session's dirs from outliving it)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
@@ -699,7 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geocoordinateconverter_spark.sources import shapefile as shp
         _register(spark, sf_dir)
         src = spark.sql(f"SELECT * FROM {SHP_VERT_SRC}")
-        base = tempfile.mkdtemp(prefix="shp_roundtrip_") + "/geoms"
+        base = _tmpdir("shp_roundtrip_") + "/geoms"
         shp.df_to_shapefile(
             src.select("geom_id", F.lit(0).alias("part"), "vid", "x", "y"),
             base, shp.SHP_POLYGON)
@@ -721,7 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         verts = (spark.sql(f"SELECT * FROM {SHP_LINE_SRC}")
                  .select("geom_id", F.lit(0).alias("part"), "vid", "x", "y"))
         attrs = spark.sql(f"SELECT * FROM {SHP_ATTR_SRC}")
-        base = tempfile.mkdtemp(prefix="shp_attrs_") + "/lines"
+        base = _tmpdir("shp_attrs_") + "/lines"
         shp.df_to_shapefile(verts, base, shp.SHP_POLYLINE, attrs=attrs)
         back_v = shp.shapefile_to_df(spark, base)  # bit-exact vertices
         back_a = shp.dbf_to_df(spark, base)        # DBF N+C fields
@@ -742,7 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("geom_id", "part", "vid", "x", "y",
                          F.col("h").alias("z"),
                          F.col("mz").alias("m")))
-        base = tempfile.mkdtemp(prefix="shp_zm_") + "/polyz"
+        base = _tmpdir("shp_zm_") + "/polyz"
         shp.df_to_shapefile(verts, base, shp.SHP_POLYGONZ)
         back = shp.shapefile_to_df(spark, base)  # bit-exact x/y/z/m
         udf = kernels.transform_udf(5)
@@ -767,7 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("geom_id", "part", "vid", "x", "y",
                          F.col("h").alias("z"), F.col("mz").alias("m"),
                          "part_type"))
-        base = tempfile.mkdtemp(prefix="shp_mp_") + "/patch"
+        base = _tmpdir("shp_mp_") + "/patch"
         shp.df_to_multipatch(verts, base)
         back = shp.multipatch_to_df(spark, base)  # bit-exact x/y/z/m+types
         udf = kernels.transform_udf(5)
@@ -1176,7 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geocoordinateconverter_spark.operators import checkpoint as cp
         _register(spark, sf_dir)
         df = spark.table("documents").select("doc_id", "text")
-        out = tempfile.mkdtemp(prefix="ckpt_gate_") + "/out"
+        out = _tmpdir("ckpt_gate_") + "/out"
         try:
             cp.checkpointed_write(df, out, key="doc_id", n_buckets=8,
                                   fail_after_bucket=3)
@@ -1298,7 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
         from geocoordinateconverter_spark.streaming import geopipeline as gp
         _register(spark, sf_dir)
-        base = tempfile.mkdtemp(prefix="stream_flagship_")
+        base = _tmpdir("stream_flagship_")
         docs_dir = os.path.join(base, "documents")
         os.makedirs(docs_dir)
         shutil.copy(f"{sf_dir}/documents.parquet",
@@ -1332,7 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from geocoordinateconverter_spark.streaming import stateful
         _register(spark, sf_dir)
-        base = tempfile.mkdtemp(prefix="stream_stateful_")
+        base = _tmpdir("stream_stateful_")
         docs_dir = os.path.join(base, "documents")
         os.makedirs(docs_dir)
         shutil.copy(f"{sf_dir}/documents.parquet",

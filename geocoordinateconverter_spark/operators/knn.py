@@ -210,7 +210,11 @@ def knn_join(points: DataFrame, spark: SparkSession, key: str,
         # job at call time) and re-evaluates the upstream lineage for
         # the probe — deliberate: cellring is the batch-scale path over
         # materialized sources, and the probe is O(first match); don't
-        # compose it over streaming DataFrames (count() would throw).
+        # compose it over streaming DataFrames (count() would throw) OR
+        # over nondeterministic batch sources (ADVICE r5: the gate
+        # decision is a snapshot — if upstream rows change between the
+        # probe and execution, an omitted fallback branch would drop
+        # out-of-bbox pairs silently; materialize such sources first).
         if points.filter(~in_bbox).limit(1).count():
             cand = cand_in.unionByName(
                 points.filter(~in_bbox).join(F.broadcast(st)))

@@ -162,6 +162,30 @@ def test_minhash_sig_kernel_arrow_node(spark):
     assert "Exchange" not in plan
 
 
+def test_aft_synthetic_flag_matches_tables():
+    """ADVICE r5: TABLES_SYNTHETIC is a manual flag — if the real
+    aft_gktm.h/aft_tmgk.h tables are ever swapped in without flipping
+    it, aft_values_sql would silently regenerate the synthetic grid
+    and the oracle would validate against the wrong triangle table.
+    Pin the synthetic tables' checksum to the flag: a mismatched swap
+    now fails loudly here instead."""
+    import hashlib
+    from geocoordinateconverter_spark import aft
+    if not aft.TABLES_SYNTHETIC:
+        pytest.skip("real AFT tables in place; flag correctly flipped")
+    sums = {}
+    for name, t in (("gk_tm", aft.AFT_GK_TM), ("tm_gk", aft.AFT_TM_GK)):
+        h = hashlib.md5()
+        for k in ("tri_src", "tri_dst", "coef"):
+            h.update(np.ascontiguousarray(getattr(t, k),
+                                          np.float64).tobytes())
+        sums[name] = h.hexdigest()
+    assert sums == {"gk_tm": "b506fb730e1adff8c9f9bcd95825211f",
+                    "tm_gk": "d3440775687a514e0f291cf5bec3d021"}, (
+        "AFT tables do not match the synthetic regular-grid derivation "
+        "but TABLES_SYNTHETIC is still True — flip it (tools/reanchor.py)")
+
+
 def test_kernel_invariant_to_partitioning(spark):
     # per-task preselection must not leak into the result: 1 partition
     # vs many partitions produce identical rows

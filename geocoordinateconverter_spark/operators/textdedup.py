@@ -532,16 +532,41 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     remaining shuffles are the gram equi-join that generates
     intersections and its count aggregation."""
     ga = _gram_arrays(docs, n)
-    g = ga.select("doc_id", F.explode("grams").alias("gram"))
-    sizes = (ga.select("doc_id", F.size("grams").alias("n_grams"))
-             .filter(F.col("n_grams") > 0))
-    inter = (g.alias("a").join(
-                 g.alias("b"),
-                 (F.col("a.gram") == F.col("b.gram"))
-                 & (F.col("a.doc_id") < F.col("b.doc_id"))
-                 & (F.col("b.doc_id") <= F.col("a.doc_id") + id_window))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
+    # r6: explode_outer + IS NOT NULL instead of inner explode — the
+    # inner Generate over the array_distinct'd gram array measured
+    # 8.4 s vs 0.2 s at sf0.1 (same 250k output rows; the outer form
+    # skips the inferred size()>0 pre-filter / codegen path that
+    # re-evaluates the interpreted HOF chain).  Equivalent here
+    # because gram arrays never contain NULL elements (concat_ws
+    # never yields NULL), so the only NULL rows are the empty-array
+    # placeholders the inner explode would have dropped.
+    g = (ga.select("doc_id", F.explode_outer("grams").alias("gram"))
+         .filter(F.col("gram").isNotNull()))
+    # per-doc set sizes from the exploded (already-distinct) gram table
+    # — a size(grams) projection over ga re-evaluates the interpreted
+    # HOF chain (measured 4.2 s of the query's 6 s); this is one tiny
+    # aggregation, and docs with zero grams are absent from g exactly
+    # as the old n_grams > 0 filter required
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # r6: block-equified join (the cosine_near_dup pattern).  A plain
+    # gram equi-join first materializes EVERY same-gram doc pair and
+    # only then applies the id-window as a residual — with a hot gram
+    # in B docs that is B²/2 intermediate pairs (measured 10.5 s at
+    # sf0.1 on the 31-token fixture vocabulary).  Keying the join on
+    # (gram, block) with the left side exploded to {blk, blk+1} bounds
+    # every build group to one id window; the window predicate stays as
+    # the residual and the pair set is unchanged (a qualifying
+    # partner's block is always the row's own block or the next one).
+    blk = F.floor(F.col("doc_id") / F.lit(id_window))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("gram").alias("gram"),
+                 F.explode(F.array(blk, blk + 1)).alias("blk"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("gram").alias("gram"),
+                 blk.alias("blk"))
+    inter = (a.join(b, ["gram", "blk"])
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.col("id_b") <= F.col("id_a") + id_window))
+             .groupBy(F.col("id_a").alias("doc_a"),
+                      F.col("id_b").alias("doc_b"))
              .agg(F.count("*").alias("n_inter")))
     return (inter
             .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

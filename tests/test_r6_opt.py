@@ -162,6 +162,47 @@ def test_minhash_sig_kernel_arrow_node(spark):
     assert "Exchange" not in plan
 
 
+def test_tile_topk_window_equals_grouped_map(spark):
+    from geocoordinateconverter_spark.operators import tiles as tl
+    pts = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+           .selectExpr("o_orderkey as k",
+                       "45.5 + (o_orderkey % 97) / 100.0 as fi",
+                       "14.2 + (o_orderkey % 83) / 100.0 as la",
+                       "cast(o_orderkey % 1000 as double) as h"))
+    a = _rows(tl.tile_topk_points(pts, key="k", res=5, k=3))
+    b = _rows(tl.tile_topk_points(pts, key="k", res=5, k=3,
+                                  grouped_map=True))
+    assert a == b and len(a) > 0
+
+
+def test_ngram_jaccard_block_join_equals_residual_form(spark):
+    # block-equified candidate join must reproduce the plain
+    # equi-join + residual-window pair set exactly
+    from geocoordinateconverter_spark.operators import textdedup as td
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    new = _rows(td.ngram_jaccard_pairs(docs))
+    ga = td._gram_arrays(docs, 3)
+    g = ga.select("doc_id", F.explode("grams").alias("gram"))
+    sizes = (ga.select("doc_id", F.size("grams").alias("n_grams"))
+             .filter(F.col("n_grams") > 0))
+    inter = (g.alias("a").join(
+                 g.alias("b"),
+                 (F.col("a.gram") == F.col("b.gram"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id"))
+                 & (F.col("b.doc_id") <= F.col("a.doc_id") + 25))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    old = _rows(inter
+                .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+                .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+                .select("doc_a", "doc_b", "n_inter",
+                        (F.col("n_inter")
+                         / (F.col("sa.n_grams") + F.col("sb.n_grams")
+                            - F.col("n_inter"))).alias("jaccard")))
+    assert new == old and len(new) > 0
+
+
 def test_aft_synthetic_flag_matches_tables():
     """ADVICE r5: TABLES_SYNTHETIC is a manual flag — if the real
     aft_gktm.h/aft_tmgk.h tables are ever swapped in without flipping

@@ -166,7 +166,22 @@ WHERE rk <= {k}
 
 
 def lsh_buckets(emb: DataFrame) -> DataFrame:
-    return emb.select("vec_id", lsh_bucket_col("embedding").alias("bucket"))
+    """(vec_id, bucket): r6 — one Arrow crossing through the exact
+    NumPy projection fold (:func:`_lsh_buckets_np`, the same float64s
+    as the unrolled expression form by the d-ascending fold order).
+    The 8×64-term unrolled Catalyst expression it replaces spent more
+    time in janino compilation than execution (measured 3.4 s → 0.6 s
+    for 20k vectors); :func:`lsh_bucket_col` remains the expression
+    twin for the oracle and pytest."""
+
+    @pandas_udf("bigint")
+    def _udf(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series(np.empty(0, np.int64))
+        X = np.stack(e.to_numpy()).astype(np.float64)
+        return pd.Series(_lsh_buckets_np(X))
+
+    return emb.select("vec_id", _udf(F.col("embedding")).alias("bucket"))
 
 
 LSH_BUCKETS_SQL = None  # built lazily (needs the generated projections)

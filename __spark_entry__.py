@@ -1424,7 +1424,9 @@ _WINDOW_PRIORITY = [
 # 380 KB) this is belt-and-braces.
 #
 # DELIBERATE EXCEPTION to the "front-load new queries" policy:
-# r5's 18 new queries (shapefile_multipatch_roundtrip; the curation
+# r5's 19 new non-wave-3 queries — 28 total with wave 3 (VERDICT r5
+# #9 count fix; ann_pq_train_codebooks was missing from the list
+# below) — (shapefile_multipatch_roundtrip; the curation
 # ops stratified_sample, pack_sequences, pii_redact, dup_ngram_spans,
 # decontaminate_bench, mixture_resample, token_budget_select,
 # line_dedup_reassemble, quality_classifier,
@@ -1434,8 +1436,9 @@ _WINDOW_PRIORITY = [
 # are NOT in the window — VERDICT r4 #4 pins the r5 window to exactly
 # the burned set so all 50 re-green, and displacing any of them (the
 # alternative) would push that entry's staleness past the ≤2-round
-# rule.  All 18 are local_verify- and pytest-covered this round and
-# are the FIRST candidates for the r6 window rotation — together with
+# rule.  All (incl. ann_pq_train_codebooks) are local_verify- and
+# pytest-covered and the FIRST candidates for a future rotation —
+# together with
 # the wave-3 additions (radius_join_stations, tfidf_top_terms,
 # pagerank_hosts, bbox_intersects_join, grouping_sets_events,
 # unpivot_event_metrics, tile_kring_smooth, multimodal_frame_sample,
